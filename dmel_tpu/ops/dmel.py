@@ -1,0 +1,90 @@
+"""DMEL — the differentiable log-Mel spectrogram (functional core).
+
+The composition the reference performs per sample inside a Python loop
+(/root/reference/models.py:33-56): mean-subtract → Gaussian-windowed
+power STFT with |lambd| → mel filterbank GEMM → (optional) log
+compression.  Here it is one batched, jit-friendly function; the heavy
+path can be dispatched to the fused Pallas TPU kernel
+(:mod:`dmel_tpu.ops.pallas`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dmel_tpu.ops.mel import melscale_fbanks
+from dmel_tpu.ops.spectrogram import spectrogram
+
+#: log-compression floor, matching ``torch.log(s + 1e-10)``
+#: (reference models.py:73,97,126,157).
+LOG_EPS = 1e-10
+
+
+def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
+                    hop_length: int = 1, f_min: float = 0.0,
+                    f_max: float | None = None, optimized: bool = False,
+                    window_length: int | None = None,
+                    normalize_window: bool = False,
+                    subtract_mean: bool = True, abs_lambd: bool = True,
+                    method: str = "fft", impl: str = "xla",
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Batched differentiable mel power spectrogram.
+
+    Args:
+      x: ``(..., T)`` signals.
+      lambd: scalar trainable window-length parameter.
+      n_mels / sample_rate / f_min / f_max: mel filterbank parameters
+        (f_max defaults to ``sample_rate // 2``, reference models.py:25).
+      hop_length, optimized, window_length, normalize_window: see
+        :func:`dmel_tpu.ops.spectrogram.spectrogram`.
+      subtract_mean: per-sample mean subtraction before the STFT
+        (reference models.py:38).
+      abs_lambd: use ``|lambd|`` (reference models.py:38).
+      method: "fft" | "matmul" STFT path (ignored for impl="pallas").
+      impl: "xla" (pure jnp, autodiff) or "pallas" (fused TPU kernel with
+        custom VJP).
+
+    Returns:
+      ``(..., n_mels, n_frames)`` mel power spectrogram with
+      ``n_frames = T // hop_length + 1`` — note the mel output shape is
+      static even in optimized mode (only internal FFT shapes change).
+    """
+    if f_max is None:
+        f_max = sample_rate // 2
+    if subtract_mean:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if abs_lambd:
+        lambd = jnp.abs(lambd)
+
+    if impl == "pallas":
+        from dmel_tpu.ops.pallas import fused_dmel
+        t = x.shape[-1]
+        if optimized:
+            if window_length is None:
+                raise ValueError("optimized mode needs static window_length")
+            win_length = int(window_length)
+            n_fft = win_length
+        else:
+            win_length = t
+            n_fft = 2 * t
+        return fused_dmel.dmel_power(
+            x, lambd, win_length=win_length, n_fft=n_fft,
+            hop_length=hop_length, n_mels=n_mels, sample_rate=sample_rate,
+            f_min=f_min, f_max=f_max, normalize_window=normalize_window)
+
+    s = spectrogram(x, lambd, optimized=optimized, hop_length=hop_length,
+                    norm=normalize_window, window_length=window_length,
+                    method=method, precision=precision)
+    n_freqs = s.shape[-2]
+    fb = melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate,
+                         dtype=s.dtype)
+    # (.., n_freqs, n_frames)^T @ (n_freqs, n_mels) -> (.., n_mels, n_frames)
+    mel = jnp.swapaxes(
+        jnp.matmul(jnp.swapaxes(s, -1, -2), fb, precision=precision), -1, -2)
+    return mel
+
+
+def log_mel_spectrogram(x: jnp.ndarray, lambd, **kwargs) -> jnp.ndarray:
+    """``log(mel_spectrogram(x) + 1e-10)`` (reference models.py:73)."""
+    return jnp.log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)

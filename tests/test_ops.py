@@ -1,0 +1,192 @@
+"""Golden parity tests for the L0 ops vs torch.stft / float64 numpy.
+
+Parity gate (BASELINE.md): feature max-abs-err <= 1e-4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmel_tpu import ops
+from tests import reference_impl as ref
+
+jax.config.update("jax_enable_x64", False)
+
+
+def max_abs_err(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def rel_err(a, b):
+    """Max abs error scaled by the reference magnitude (>=1)."""
+    b = np.asarray(b)
+    return max_abs_err(a, b) / max(1.0, float(np.max(np.abs(b))))
+
+
+class TestGaussianWindow:
+    @pytest.mark.parametrize("lambd", [1.276, 6.38, 31.9, 400.0])
+    @pytest.mark.parametrize("norm", [False, True])
+    def test_matches_torch(self, lambd, norm):
+        for length in [128, 129, 1024]:
+            ours = ops.gaussian_window(lambd, length, norm=norm)
+            theirs = ref.torch_gaussian_window(lambd, length, norm=norm)
+            assert max_abs_err(ours, theirs.numpy()) < 5e-6
+
+    def test_grad_matches_torch(self):
+        import torch
+        lam = torch.tensor(6.38, requires_grad=True)
+        m = torch.arange(128).float()
+        w = torch.exp(-0.5 * ((m - 64.0) / (lam + 1e-15)) ** 2)
+        w.sum().backward()
+        g = jax.grad(lambda l: ops.gaussian_window(l, 128).sum())(6.38)
+        assert abs(float(g) - float(lam.grad)) < 1e-3 * abs(float(lam.grad))
+
+    def test_translated_window(self):
+        import torch
+        ours = ops.translated_gaussian_window(6.38, 40.0, 128)
+        ts = torch.arange(128).float()
+        theirs = torch.exp(-0.5 * ((ts - 40.0) / (6.38 + 1e-15)) ** 2)
+        theirs = theirs / theirs.max()
+        assert max_abs_err(ours, theirs.numpy()) < 5e-6
+
+
+class TestMelFbanks:
+    @pytest.mark.parametrize("n_freqs,n_mels,sr", [
+        (65, 64, 8000), (257, 64, 8000), (2049, 64, 8000), (513, 128, 16000),
+    ])
+    def test_matches_float64_spec(self, n_freqs, n_mels, sr):
+        ours = ops.melscale_fbanks(n_freqs, 0.0, sr // 2, n_mels, sr)
+        theirs = ref.np_melscale_fbanks(n_freqs, 0.0, sr // 2, n_mels, sr)
+        assert max_abs_err(ours, theirs) < 1e-6
+        if n_freqs >= 4 * n_mels:  # wide fbanks: all triangles populated
+            assert float(np.asarray(ours).sum(axis=0).min()) > 0
+
+
+class TestSpectrogram:
+    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    def test_faithful_mode_matches_torch(self, rng, method):
+        x = rng.standard_normal(128).astype(np.float32)
+        for lambd in [1.276, 6.38, 31.9]:
+            ours = ops.spectrogram(jnp.asarray(x), lambd, optimized=False,
+                                   hop_length=1, method=method)
+            theirs = ref.torch_spectrogram(x, lambd, optimized=False,
+                                           hop_length=1)
+            assert ours.shape == (129, 129) == theirs.shape
+            assert rel_err(ours, theirs) < 1e-5
+
+    @pytest.mark.parametrize("method", ["fft", "matmul"])
+    def test_optimized_mode_matches_torch(self, rng, method):
+        x = rng.standard_normal(4000).astype(np.float32)
+        for lambd in [13.33, 46.67, 400.0]:
+            wl = ops.optimized_window_length(lambd)
+            ours = ops.spectrogram(jnp.asarray(x), lambd, optimized=True,
+                                   window_length=wl, hop_length=80,
+                                   method=method)
+            theirs = ref.torch_spectrogram(x, lambd, optimized=True,
+                                           hop_length=80)
+            assert ours.shape == theirs.shape == (wl // 2 + 1, 51)
+            assert rel_err(ours, theirs) < 1e-5
+
+    def test_normalized_window_mode(self, rng):
+        x = rng.standard_normal(128).astype(np.float32)
+        ours = ops.spectrogram(jnp.asarray(x), 6.38, norm=True)
+        theirs = ref.torch_spectrogram(x, 6.38, norm=True)
+        assert rel_err(ours, theirs) < 1e-5
+
+    def test_batched_equals_per_sample(self, rng):
+        xb = rng.standard_normal((4, 128)).astype(np.float32)
+        batch = ops.spectrogram(jnp.asarray(xb), 6.38)
+        for i in range(4):
+            single = ops.spectrogram(jnp.asarray(xb[i]), 6.38)
+            assert rel_err(batch[i], single) < 1e-6
+
+    def test_next_power_of_2(self):
+        assert ops.next_power_of_2(80) == 128
+        assert ops.next_power_of_2(128) == 128
+        assert ops.next_power_of_2(129) == 256
+        assert ops.optimized_window_length(400.0) == 4096
+        assert ops.optimized_window_length(8000 * 0.01 / 6) == 128
+
+
+class TestMelSpectrogram:
+    def test_faithful_matches_reference_composition(self, rng):
+        xb = rng.standard_normal((3, 128)).astype(np.float32)
+        ours = ops.mel_spectrogram(jnp.asarray(xb), 6.38, n_mels=32,
+                                   sample_rate=8000, hop_length=1)
+        theirs = ref.torch_mel_spectrogram(xb, 6.38, n_mels=32,
+                                           sample_rate=8000, hop_length=1)
+        assert ours.shape == theirs.shape == (3, 32, 129)
+        assert rel_err(ours, theirs) < 1e-5
+        # the BASELINE.md feature-parity gate: log-mel max-abs-err <= 1e-4
+        ours_log = np.log(np.asarray(ours) + 1e-10)
+        theirs_log = np.log(theirs + 1e-10)
+        assert max_abs_err(ours_log, theirs_log) < 1e-4
+
+    def test_optimized_matches_reference_composition(self, rng):
+        xb = rng.standard_normal((2, 8000)).astype(np.float32)
+        lambd = 8000 * 0.035 / 6
+        wl = ops.optimized_window_length(lambd)
+        ours = ops.mel_spectrogram(jnp.asarray(xb), lambd, n_mels=64,
+                                   sample_rate=8000, hop_length=80,
+                                   optimized=True, window_length=wl)
+        theirs = ref.torch_mel_spectrogram(xb, lambd, n_mels=64,
+                                           sample_rate=8000, hop_length=80,
+                                           optimized=True)
+        assert ours.shape == theirs.shape == (2, 64, 101)
+        assert rel_err(ours, theirs) < 1e-5
+        ours_log = np.log(np.asarray(ours) + 1e-10)
+        theirs_log = np.log(theirs + 1e-10)
+        assert max_abs_err(ours_log, theirs_log) < 1e-4
+
+    def test_negative_lambd_uses_abs(self, rng):
+        x = rng.standard_normal((1, 128)).astype(np.float32)
+        a = ops.mel_spectrogram(jnp.asarray(x), 6.38, n_mels=16,
+                                sample_rate=8000)
+        b = ops.mel_spectrogram(jnp.asarray(x), -6.38, n_mels=16,
+                                sample_rate=8000)
+        assert max_abs_err(a, b) == 0.0
+
+    def test_log_mel(self, rng):
+        x = rng.standard_normal((1, 128)).astype(np.float32)
+        mel = ops.mel_spectrogram(jnp.asarray(x), 6.38, n_mels=16,
+                                  sample_rate=8000)
+        logmel = ops.log_mel_spectrogram(jnp.asarray(x), 6.38, n_mels=16,
+                                         sample_rate=8000)
+        assert max_abs_err(logmel, np.log(np.asarray(mel) + 1e-10)) < 1e-3
+
+
+class TestLambdGradient:
+    """The contract of SURVEY.md §3.3: the custom VJP chain through the
+    window parameter must match torch autograd and finite differences."""
+
+    @pytest.mark.parametrize("optimized,hop,n", [(False, 1, 128),
+                                                 (True, 20, 1000)])
+    def test_matches_torch_autograd(self, rng, optimized, hop, n):
+        xb = rng.standard_normal((2, n)).astype(np.float32)
+        lambd = 20.0
+        wl = ops.optimized_window_length(lambd) if optimized else None
+
+        def loss(lam):
+            return ops.log_mel_spectrogram(
+                jnp.asarray(xb), lam, n_mels=16, sample_rate=8000,
+                hop_length=hop, optimized=optimized, window_length=wl).sum()
+
+        g = float(jax.grad(loss)(lambd))
+        g_ref = ref.torch_dmel_lambd_grad(xb, lambd, n_mels=16,
+                                          sample_rate=8000, hop_length=hop,
+                                          optimized=optimized)
+        assert abs(g - g_ref) < 1e-3 * max(1.0, abs(g_ref))
+
+    def test_matches_finite_differences(self, rng):
+        xb = rng.standard_normal((2, 128)).astype(np.float32)
+
+        def loss(lam):
+            return ops.log_mel_spectrogram(
+                jnp.asarray(xb, dtype=jnp.float32), lam, n_mels=16,
+                sample_rate=8000).sum()
+
+        g = float(jax.grad(loss)(6.38))
+        eps = 1e-2
+        fd = (float(loss(6.38 + eps)) - float(loss(6.38 - eps))) / (2 * eps)
+        assert abs(g - fd) < 2e-2 * max(1.0, abs(fd))
