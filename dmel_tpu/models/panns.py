@@ -1,0 +1,193 @@
+"""PANNs CNN backbones (flax, NHWC/TPU layout).
+
+Parity targets: /root/reference/panns.py — ``ConvBlock`` (:22-65),
+``ConvBlock5x5`` (:68-102), ``AttBlock`` (:105-133), ``Cnn6``
+(:135-202), ``Cnn14`` (:205-291, dead code upstream, revived here with
+our own fixed log-mel extractor).  Layout is NHWC (XLA-TPU native):
+``Cnn6`` takes ``(B, time, mel, 1)`` where the reference takes
+``(B, 1, time, mel)``.
+
+Batch-norm uses torch semantics: momentum 0.1 (flax ``momentum=0.9``),
+eps 1e-5.  Weight init is Xavier-uniform with zero bias, BN scale 1 /
+bias 0 (panns.py:7-19).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dmel_tpu.models.common import xavier_uniform, zeros
+
+
+def _bn(name=None, axis=-1):
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=axis, name=name)
+
+
+def time_mask(key, x, mask_param: int):
+    """SpecAugment time masking, iid per batch element.
+
+    torchaudio.transforms.TimeMasking(time_mask_param, iid_masks=True)
+    distribution (used at /root/reference/panns.py:141): width ~
+    U[0, mask_param), start ~ U[0, T - width); masked region set to 0.
+    ``x``: (B, T, M, 1).
+    """
+    b, t = x.shape[0], x.shape[1]
+    k1, k2 = jax.random.split(key)
+    value = jax.random.uniform(k1, (b,)) * mask_param
+    min_value = jax.random.uniform(k2, (b,)) * (t - value)
+    idx = jnp.arange(t)[None, :]
+    mask = (idx >= min_value[:, None]) & (idx < (min_value + value)[:, None])
+    return jnp.where(mask[:, :, None, None], 0.0, x)
+
+
+def freq_mask(key, x, mask_param: int):
+    """SpecAugment frequency masking over the mel axis of (B, T, M, 1)."""
+    b, m = x.shape[0], x.shape[2]
+    k1, k2 = jax.random.split(key)
+    value = jax.random.uniform(k1, (b,)) * mask_param
+    min_value = jax.random.uniform(k2, (b,)) * (m - value)
+    idx = jnp.arange(m)[None, :]
+    mask = (idx >= min_value[:, None]) & (idx < (min_value + value)[:, None])
+    return jnp.where(mask[:, None, :, None], 0.0, x)
+
+
+def _pool(x, pool_size: Tuple[int, int], pool_type: str):
+    if pool_type == "max":
+        return nn.max_pool(x, pool_size, strides=pool_size)
+    if pool_type == "avg":
+        return nn.avg_pool(x, pool_size, strides=pool_size)
+    if pool_type == "avg+max":
+        return (nn.avg_pool(x, pool_size, strides=pool_size)
+                + nn.max_pool(x, pool_size, strides=pool_size))
+    raise ValueError(f"Incorrect pool_type: {pool_type!r}")
+
+
+class ConvBlock5x5(nn.Module):
+    """conv5x5 (no bias) + BN + ReLU + pool (panns.py:68-102)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
+        x = nn.Conv(self.out_channels, (5, 5), padding="SAME", use_bias=False,
+                    kernel_init=xavier_uniform(), name="conv1")(x)
+        x = _bn(name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return _pool(x, pool_size, pool_type)
+
+
+class ConvBlock(nn.Module):
+    """double conv3x3 + BN + ReLU + pool (panns.py:22-65)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=xavier_uniform(), name="conv1")(x)
+        x = nn.relu(_bn(name="bn1")(x, use_running_average=not train))
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=xavier_uniform(), name="conv2")(x)
+        x = nn.relu(_bn(name="bn2")(x, use_running_average=not train))
+        return _pool(x, pool_size, pool_type)
+
+
+class AttBlock(nn.Module):
+    """Attention pooling head over (B, T, C) (panns.py:105-133; unused by
+    the experiments, provided for capability parity)."""
+
+    n_out: int
+    activation: str = "linear"
+    temperature: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        att = nn.Conv(self.n_out, (1,), kernel_init=xavier_uniform(),
+                      bias_init=zeros, name="att")(x)
+        norm_att = jax.nn.softmax(jnp.clip(att, -10, 10), axis=1)
+        cla = nn.Conv(self.n_out, (1,), kernel_init=xavier_uniform(),
+                      bias_init=zeros, name="cla")(x)
+        if self.activation == "sigmoid":
+            cla = jax.nn.sigmoid(cla)
+        out = jnp.sum(norm_att * cla, axis=1)
+        return out, norm_att, cla
+
+
+class Cnn6(nn.Module):
+    """PANNs CNN6 backbone (panns.py:135-202).
+
+    Input ``(B, time, mel, 1)`` (NHWC; the reference's
+    ``(B, 1, time, mel)`` transposed).  Returns sigmoid clipwise output
+    ``(B, classes_num)`` — trained with BCE + one-hot labels
+    (/root/reference/main.py:57-63).
+    """
+
+    classes_num: int
+    n_mels: int
+    augment: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # BN over mel bins: reference transposes to put mel in the channel
+        # slot (panns.py:169-172); here mel is axis 2 of NHWC.
+        x = _bn(name="bn1", axis=2)(x, use_running_average=not train)
+
+        if train and self.augment:
+            rng = self.make_rng("augment")
+            k1, k2 = jax.random.split(rng)
+            x = time_mask(k1, x, 64)
+            x = freq_mask(k2, x, 8)
+
+        drop = lambda x, r: nn.Dropout(r)(x, deterministic=not train)  # noqa: E731
+        x = ConvBlock5x5(64, name="conv_block1")(x, train=train)
+        x = drop(x, 0.2)
+        x = ConvBlock5x5(128, name="conv_block2")(x, train=train)
+        x = drop(x, 0.2)
+        x = ConvBlock5x5(256, name="conv_block3")(x, train=train)
+        x = drop(x, 0.2)
+        x = ConvBlock5x5(512, name="conv_block4")(x, train=train)
+        x = drop(x, 0.2)
+
+        x = jnp.mean(x, axis=2)            # mean over mel -> (B, T', 512)
+        x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)   # (B, 512)
+        x = drop(x, 0.5)
+        x = nn.relu(nn.Dense(512, kernel_init=xavier_uniform(),
+                             bias_init=zeros, name="fc1")(x))
+        x = drop(x, 0.5)
+        x = nn.Dense(self.classes_num, kernel_init=xavier_uniform(),
+                     bias_init=zeros, name="fc_esc50")(x)
+        return jax.nn.sigmoid(x)
+
+
+class Cnn14(nn.Module):
+    """PANNs CNN14 (panns.py:205-291 — dead code upstream; revived).
+
+    Takes pre-computed log-mel input ``(B, time, mel, 1)`` like Cnn6 so
+    it composes with any spectrogram front-end in this framework.
+    """
+
+    classes_num: int
+    n_mels: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _bn(name="bn0", axis=2)(x, use_running_average=not train)
+        drop = lambda x, r: nn.Dropout(r)(x, deterministic=not train)  # noqa: E731
+        for i, ch in enumerate([64, 128, 256, 512, 1024, 2048], start=1):
+            pool = (1, 1) if i == 6 else (2, 2)
+            x = ConvBlock(ch, name=f"conv_block{i}")(x, pool_size=pool,
+                                                     train=train)
+            x = drop(x, 0.2)
+        x = jnp.mean(x, axis=2)
+        x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+        x = drop(x, 0.5)
+        x = nn.relu(nn.Dense(2048, kernel_init=xavier_uniform(),
+                             bias_init=zeros, name="fc1")(x))
+        x = drop(x, 0.5)
+        x = nn.Dense(self.classes_num, kernel_init=xavier_uniform(),
+                     bias_init=zeros, name="fc_audioset")(x)
+        return jax.nn.sigmoid(x)

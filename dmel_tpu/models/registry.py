@@ -1,0 +1,80 @@
+"""Config-dict → model factory.
+
+Parity target: ``get_model_by_config`` (/root/reference/utils.py:144-261)
+including the dataset→n_classes mapping (utils.py:145-150) and the DSPEC
+image size convention ``(n_points+1, n_points+1)`` (utils.py:159).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from dmel_tpu.models import classifiers
+
+N_CLASSES = {
+    "time_frequency": 3,
+    "audio_mnist": 10,
+    "esc50": 50,
+    "fsd": 200,  # FSD config from BASELINE.json configs[3] (extension)
+}
+
+
+def n_classes_for(dataset_name: str) -> int:
+    try:
+        return N_CLASSES[dataset_name]
+    except KeyError:
+        raise ValueError(f"dataset_name: {dataset_name} not supported.")
+
+
+def get_model_by_config(config: dict,
+                        window_length: Optional[int] = None):
+    """Build a flax model module from a flat experiment config.
+
+    ``window_length`` is the static optimized-mode window bucket for the
+    current lambd (``ops.optimized_window_length``); pass None for
+    faithful mode.
+    """
+    n_classes = n_classes_for(config["dataset_name"])
+    name = config["model_name"]
+
+    spec_kwargs = dict(
+        n_classes=n_classes,
+        init_lambd=float(config["init_lambd"]),
+        size=(config["n_points"] + 1, config["n_points"] + 1),
+        hop_length=config["hop_length"],
+        optimized=config["optimized"],
+        window_length=window_length,
+        normalize_window=config["normalize_window"],
+    )
+    mel_kwargs = dict(
+        n_classes=n_classes,
+        init_lambd=float(config["init_lambd"]),
+        n_mels=config.get("n_mels", 64),
+        sample_rate=config.get("resample_rate", 8000),
+        n_points=config["n_points"],
+        hop_length=config["hop_length"],
+        optimized=config["optimized"],
+        window_length=window_length,
+        energy_normalize=config.get("energy_normalize", False),
+        normalize_window=config["normalize_window"],
+        impl=config.get("impl", "xla"),
+    )
+
+    if name == "linear_net":
+        return classifiers.LinearNet(**spec_kwargs)
+    if name == "bn_linear_net":
+        return classifiers.BatchNormLinearNet(**spec_kwargs)
+    if name == "mlp_net":
+        return classifiers.MlpNet(**spec_kwargs)
+    if name == "conv_net":
+        return classifiers.ConvNet(**spec_kwargs)
+    if name == "mel_linear_net":
+        return classifiers.MelLinearNet(**mel_kwargs)
+    if name == "mel_mlp_net":
+        return classifiers.MelMlpNet(**mel_kwargs)
+    if name == "mel_conv_net":
+        return classifiers.MelConvNet(**mel_kwargs)
+    if name == "panns_cnn6":
+        return classifiers.MelPANNsNet(
+            augment=config.get("augment", False), **mel_kwargs)
+    raise ValueError(f"model name not found: {name}")
