@@ -1,0 +1,69 @@
+"""Host-side batching: the DataLoader equivalent.
+
+The reference uses torch DataLoader with 2 worker processes
+(/root/reference/main.py:20-21).  Datasets here are small in-memory
+arrays, so the TPU-native design is simpler and faster: whole-epoch
+shuffled index slicing into contiguous numpy batches, optionally padded
+to a fixed batch size so every step has a static shape (XLA-friendly —
+no per-epoch recompile for the ragged tail batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterates (xs, ys[, mask]) numpy batches over an array dataset.
+
+    Args:
+      dataset: object with ``.xs`` / ``.ys`` arrays (ArrayDataset,
+        GaussPulseDataset or Subset).
+      batch_size: batch size.
+      shuffle: reshuffle each epoch.
+      seed: shuffle seed.
+      pad_last: if True, the final ragged batch is padded to
+        ``batch_size`` (repeating index 0) and a boolean validity mask is
+        yielded; if False, the ragged batch is yielded as-is.
+      drop_last: drop the ragged batch entirely.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, pad_last: bool = True,
+                 drop_last: bool = False):
+        self.xs = np.asarray(dataset.xs, dtype=np.float32)
+        self.ys = np.asarray(dataset.ys)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.pad_last = pad_last
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.xs)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.xs)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    pad = np.zeros(bs - len(idx), dtype=idx.dtype)
+                    mask = np.zeros(bs, dtype=bool)
+                    mask[:len(idx)] = True
+                    idx = np.concatenate([idx, pad])
+                    yield self.xs[idx], self.ys[idx], mask
+                    continue
+            mask = np.ones(len(idx), dtype=bool)
+            yield self.xs[idx], self.ys[idx], mask

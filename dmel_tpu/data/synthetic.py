@@ -1,0 +1,150 @@
+"""Synthetic Gauss-pulse time-frequency dataset (vectorized).
+
+Parity target: ``GaussPulseDatasetTimeFrequency``
+(/root/reference/datasets.py:30-137) plus the signal synthesis helpers
+``fmconst`` (:10-16) and ``gauss_pulse`` (:18-23).  Same three-class
+geometry and sampling distributions; generation is fully vectorized
+numpy instead of a 10k-iteration Python loop, and samples are float32
+(the reference's float64 xs — datasets.py:33 — are a known inefficiency,
+SURVEY.md §6).
+
+Classes:
+  0 — single pulse, sigma randomly scaled along time or frequency;
+  1 — two pulses separated in time;
+  2 — two pulses separated in frequency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def fmconst_np(n_points: int, fnorm, phase) -> np.ndarray:
+    """Constant-frequency sinusoid, amplitude-normalized
+    (datasets.py:10-16).  Vectorized over leading dims of fnorm/phase."""
+    ts = np.arange(n_points, dtype=np.float64)
+    fnorm = np.asarray(fnorm, dtype=np.float64)[..., None]
+    phase = np.asarray(phase, dtype=np.float64)[..., None]
+    y = np.sin(2.0 * np.pi * fnorm * ts + phase)
+    return y / np.max(y, axis=-1, keepdims=True)
+
+
+def gauss_window_np(sigma, tc, n_points: int) -> np.ndarray:
+    """Amplitude-normalized translated Gaussian (time_frequency.py:5-19),
+    vectorized over leading dims of sigma/tc."""
+    ts = np.arange(n_points, dtype=np.float64)
+    sigma = np.asarray(sigma, dtype=np.float64)[..., None]
+    tc = np.asarray(tc, dtype=np.float64)[..., None]
+    w = np.exp(-0.5 * ((ts - tc) / (sigma + 1e-15)) ** 2)
+    return w / np.max(w, axis=-1, keepdims=True)
+
+
+def gauss_pulse_np(t_loc, f_loc, sigma, phase, n_points: int) -> np.ndarray:
+    """Gaussian-envelope constant-FM pulse, mean-subtracted
+    (datasets.py:18-23)."""
+    gp = gauss_window_np(sigma, t_loc, n_points) * fmconst_np(
+        n_points, f_loc, phase)
+    return gp - np.mean(gp, axis=-1, keepdims=True)
+
+
+@dataclasses.dataclass
+class GaussPulseDataset:
+    """Arrays: ``xs (n, n_points) float32``, ``ys (n,) int32``,
+    ``locs (n, 4) float32`` (ground-truth bookkeeping for sanity checks,
+    datasets.py:35,87-119)."""
+
+    xs: np.ndarray
+    ys: np.ndarray
+    locs: np.ndarray
+    sigma: float
+    n_points: int
+
+    def __len__(self):
+        return len(self.xs)
+
+    def __getitem__(self, idx):
+        return self.xs[idx], self.ys[idx]
+
+
+def make_gauss_pulse_dataset(sigma: float, n_points: int, noise_std: float,
+                             n_samples: int = 10000,
+                             f_center_max_offset: float = 0.0,
+                             t_center_max_offset: float = 0.0,
+                             demo: bool = False,
+                             seed: int | None = None) -> GaussPulseDataset:
+    """Vectorized equivalent of the reference's generation loop
+    (datasets.py:52-131).  ``seed=None`` draws fresh entropy like the
+    reference (which never seeds); pass an int for reproducibility."""
+    rng = np.random.default_rng(seed)
+    n = n_samples
+    u = lambda lo, hi, size=n: rng.uniform(lo, hi, size)  # noqa: E731
+
+    # displacement limits (datasets.py:37-49)
+    t_max = n_points / 5
+    f_max = 0.5 / 5
+    t_min = sigma
+    f_min = 0.5 * (t_min / n_points)
+    sigma_scale_max = (2 * t_max) / (6 * sigma) + 1
+    sigma_scale_min = 1 / sigma_scale_max
+
+    if demo:
+        f_center_offset = np.zeros(n)
+        t_center_offset = np.zeros(n)
+        f_offset = np.full(n, 0.5 * f_max)
+        t_offset = np.full(n, 0.5 * t_max)
+    else:
+        f_center_offset = u(-f_center_max_offset, f_center_max_offset)
+        t_center_offset = u(-t_center_max_offset, t_center_max_offset)
+        f_offset = u(f_min, f_max)
+        t_offset = u(t_min, t_max)
+
+    t_center = t_center_offset + n_points / 2
+    f_center = f_center_offset + 0.25
+
+    ys = rng.integers(0, 3, n)
+
+    # class 0: sigma scaled up (time-spread) or down (frequency-spread)
+    spread_time = rng.integers(0, 2, n).astype(bool)
+    sigma_scale = np.where(spread_time, u(1.0, sigma_scale_max),
+                           u(sigma_scale_min, 1.0))
+    if demo:
+        sigma_scale = np.ones(n)
+
+    phases = rng.uniform(0, 2 * np.pi, (4, n))
+
+    # Build both pulses for every class then select by mask — one
+    # vectorized pass (XLA-style dense compute beats the reference's
+    # Python loop by orders of magnitude on host too).
+    x0 = gauss_pulse_np(t_center, f_center, sigma * sigma_scale, phases[0],
+                        n_points)
+    x1 = (gauss_pulse_np(t_center - t_offset, f_center, sigma, phases[1],
+                         n_points)
+          + gauss_pulse_np(t_center + t_offset, f_center, sigma, phases[2],
+                           n_points))
+    x2 = (gauss_pulse_np(t_center, f_center - f_offset, sigma, phases[1],
+                         n_points)
+          + gauss_pulse_np(t_center, f_center + f_offset, sigma, phases[2],
+                           n_points))
+    x = np.where((ys == 0)[:, None], x0,
+                 np.where((ys == 1)[:, None], x1, x2))
+
+    locs = np.zeros((n, 4), dtype=np.float64)
+    locs[ys == 0] = np.stack([t_center, f_center, spread_time.astype(float),
+                              sigma_scale], 1)[ys == 0]
+    locs[ys == 1] = np.stack([t_center - t_offset, f_center,
+                              t_center + t_offset, f_center], 1)[ys == 1]
+    locs[ys == 2] = np.stack([t_center, f_center - f_offset,
+                              t_center, f_center + f_offset], 1)[ys == 2]
+
+    # variability (datasets.py:121-131): uniform noise + amplitude jitter
+    noise = noise_std * rng.uniform(0, 1, (n, n_points))
+    amplitude = np.ones(n) if demo else u(0.5, 1.0)
+    x = x * amplitude[:, None] + noise
+    x = x - x.mean(axis=-1, keepdims=True)
+
+    return GaussPulseDataset(xs=x.astype(np.float32),
+                             ys=ys.astype(np.int32),
+                             locs=locs.astype(np.float32),
+                             sigma=sigma, n_points=n_points)

@@ -1,0 +1,165 @@
+"""Dataset tests (SURVEY.md §2 C9-C12 parity)."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from dmel_tpu import data
+
+
+class TestSynthetic:
+    def test_shapes_classes_and_stats(self):
+        ds = data.make_gauss_pulse_dataset(sigma=6.38, n_points=128,
+                                           noise_std=0.5, n_samples=600,
+                                           seed=0)
+        assert ds.xs.shape == (600, 128) and ds.xs.dtype == np.float32
+        assert set(np.unique(ds.ys)) == {0, 1, 2}
+        # per-sample mean subtraction (datasets.py:131)
+        assert np.abs(ds.xs.mean(axis=1)).max() < 1e-5
+        assert ds.locs.shape == (600, 4)
+
+    def test_class_geometry_in_locs(self):
+        ds = data.make_gauss_pulse_dataset(sigma=6.38, n_points=128,
+                                           noise_std=0.0, n_samples=900,
+                                           seed=1)
+        # class 1: two time locations straddling the center symmetrically
+        l1 = ds.locs[ds.ys == 1]
+        np.testing.assert_allclose((l1[:, 0] + l1[:, 2]) / 2, 64.0, atol=1e-3)
+        assert (l1[:, 2] - l1[:, 0]).min() >= 2 * 6.38 - 1e-3
+        # class 2: two frequency locations straddling 0.25
+        l2 = ds.locs[ds.ys == 2]
+        np.testing.assert_allclose((l2[:, 1] + l2[:, 3]) / 2, 0.25, atol=1e-6)
+
+    def test_demo_mode_is_deterministic_geometry(self):
+        ds = data.make_gauss_pulse_dataset(sigma=6.38, n_points=128,
+                                           noise_std=0.5, n_samples=30,
+                                           demo=True, seed=2)
+        l1 = ds.locs[ds.ys == 1]
+        # fixed offsets: t_offset = 0.5 * n/5
+        np.testing.assert_allclose(l1[:, 2] - l1[:, 0], 128 / 5, atol=1e-4)
+
+    def test_fmconst_normalized(self):
+        y = data.fmconst_np(128, 0.25, 1.0)
+        assert abs(float(np.max(y)) - 1.0) < 1e-9
+
+
+class TestSplits:
+    def test_matches_torch_random_split(self):
+        import torch
+        xs = np.arange(1000, dtype=np.float32)[:, None]
+        ys = np.arange(1000)
+        ds = data.ArrayDataset(xs, ys, 8000)
+        ours = data.random_split(ds, (0.7, 0.1, 0.2), seed=0)
+
+        g = torch.Generator()
+        g.manual_seed(0)
+        theirs = torch.utils.data.random_split(
+            torch.utils.data.TensorDataset(torch.arange(1000)),
+            [0.7, 0.1, 0.2], generator=g)
+        for o, t in zip(ours, theirs):
+            t_idx = np.asarray(t.indices)
+            np.testing.assert_array_equal(o.indices, t_idx)
+
+    def test_lengths(self):
+        assert data.random_split_lengths(10, [0.7, 0.1, 0.2]) == [7, 1, 2]
+        assert sum(data.random_split_lengths(5000, [0.7, 0.1, 0.2])) == 5000
+
+    def test_speaker_partition_disjoint(self):
+        from dmel_tpu.data.splits import check_speaker_partition
+        check_speaker_partition()
+
+
+class TestLoader:
+    def test_batches_cover_dataset(self):
+        ds = data.ArrayDataset(np.arange(10, dtype=np.float32)[:, None],
+                               np.arange(10), 8000)
+        loader = data.BatchLoader(ds, batch_size=4, shuffle=False)
+        seen = []
+        for xs, ys, mask in loader:
+            assert xs.shape[0] == 4
+            seen += list(ys[mask])
+        assert sorted(seen) == list(range(10))
+
+    def test_shuffle_changes_order_across_epochs(self):
+        ds = data.ArrayDataset(np.arange(64, dtype=np.float32)[:, None],
+                               np.arange(64), 8000)
+        loader = data.BatchLoader(ds, batch_size=64, shuffle=True, seed=3)
+        e1 = next(iter(loader))[1]
+        e2 = next(iter(loader))[1]
+        assert not np.array_equal(e1, e2)
+        assert sorted(e1) == sorted(e2)
+
+    def test_drop_last(self):
+        ds = data.ArrayDataset(np.zeros((10, 2), np.float32),
+                               np.zeros(10), 8000)
+        loader = data.BatchLoader(ds, batch_size=4, drop_last=True)
+        assert len(list(loader)) == 2
+
+
+class TestWavIO:
+    def test_wav_roundtrip(self, tmp_path):
+        sr = 8000
+        t = np.arange(sr)
+        x = (0.5 * np.sin(2 * np.pi * 440 * t / sr))
+        pcm = (x * 32767).astype("<i2")
+        p = tmp_path / "0_test_0.wav"
+        with wave.open(str(p), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        y, sr2 = data.load_wav(str(p))
+        assert sr2 == sr
+        assert np.max(np.abs(y - x)) < 1e-3
+
+    def test_resample_preserves_tone(self):
+        sr, target = 44100, 8000
+        t = np.arange(sr * 2) / sr
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = data.resample(x, sr, target)
+        assert abs(len(y) - 2 * target) <= 1
+        # dominant frequency preserved
+        spec = np.abs(np.fft.rfft(y))
+        peak_hz = np.argmax(spec) / len(y) * target
+        assert abs(peak_hz - 440) < 2
+
+    def test_esc50_cache(self, tmp_path):
+        # synthesize a 2-file mini ESC-50 layout
+        os.makedirs(tmp_path / "meta")
+        os.makedirs(tmp_path / "audio")
+        rows = ["filename,fold,target,category,esc10,src_file,take"]
+        for i in range(2):
+            name = f"clip{i}.wav"
+            rows.append(f"{name},1,{i},cat{i},True,0,A")
+            x = (np.sin(2 * np.pi * 300 * np.arange(44100) / 44100)
+                 * 32767 * 0.1).astype("<i2")
+            with wave.open(str(tmp_path / "audio" / name), "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(44100)
+                f.writeframes(x.tobytes())
+        (tmp_path / "meta" / "esc50.csv").write_text("\n".join(rows))
+        ds = data.esc50(str(tmp_path), resample_rate=8000)
+        assert ds.xs.shape[0] == 2 and ds.sample_rate == 8000
+        assert os.path.exists(tmp_path / "8000_xs.npy")
+        # second load hits the cache
+        ds2 = data.esc50(str(tmp_path), resample_rate=8000)
+        np.testing.assert_array_equal(ds.xs, ds2.xs)
+
+
+class TestRegistry:
+    def test_time_frequency_config(self):
+        config = dict(dataset_name="time_frequency", sigma_ref=6.38,
+                      n_points=128, noise_std=0.5, n_samples=200,
+                      center_offset=False, data_seed=0)
+        tr, va, te = data.get_dataset_by_config(config, data_dir="/tmp")
+        assert len(tr) == 140 and len(va) == 20 and len(te) == 40
+        # split membership is disjoint
+        all_idx = np.concatenate([tr.indices, va.indices, te.indices])
+        assert len(np.unique(all_idx)) == 200
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError):
+            data.get_dataset_by_config({"dataset_name": "nope"}, "/tmp")
