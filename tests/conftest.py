@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # tunneled TPU (e.g. "axon"), which would make every parametrized test a
 # remote compile.  Override with DMEL_TEST_PLATFORM to test on hardware.
 os.environ["JAX_PLATFORMS"] = os.environ.get("DMEL_TEST_PLATFORM", "cpu")
+# Persistent compilation cache: this sandbox shows rare multi-minute XLA
+# compile stalls; caching makes reruns immune to them.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_compilation_cache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

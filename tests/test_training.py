@@ -1,0 +1,173 @@
+"""Training-loop tests (SURVEY.md §2 C14 parity + §4c integration)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dmel_tpu import data, training
+from dmel_tpu.training.train import bce_loss, ce_loss
+
+
+def tf_config(**over):
+    """Small time_frequency config (search_spaces.py:70-100 shape)."""
+    cfg = dict(
+        model_name="linear_net", hop_length=1, optimized=False,
+        normalize_window=False, optimizer_name="sgd", lr_model=1e-3,
+        lr_tf=1.0, batch_size=32, trainable=True, max_epochs=2, patience=100,
+        n_points=64, noise_std=0.5, init_lambd=6.38, n_samples=200,
+        sigma_ref=6.38, dataset_name="time_frequency", center_offset=False,
+        data_seed=0)
+    cfg.update(over)
+    return cfg
+
+
+class TestLosses:
+    def test_ce_matches_torch(self, rng):
+        logits = rng.standard_normal((8, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, 8)
+        mask = np.ones(8, bool)
+        ours = float(ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                             jnp.asarray(mask)))
+        theirs = float(torch.nn.CrossEntropyLoss()(
+            torch.tensor(logits), torch.tensor(labels)))
+        assert abs(ours - theirs) < 1e-5
+
+    def test_bce_matches_torch(self, rng):
+        probs = rng.uniform(0.01, 0.99, (8, 5)).astype(np.float32)
+        labels = np.eye(5, dtype=np.float32)[rng.integers(0, 5, 8)]
+        mask = np.ones(8, bool)
+        ours = float(bce_loss(jnp.asarray(probs), jnp.asarray(labels),
+                              jnp.asarray(mask)))
+        theirs = float(torch.nn.functional.binary_cross_entropy(
+            torch.tensor(probs), torch.tensor(labels)))
+        assert abs(ours - theirs) < 1e-5
+
+    def test_masked_rows_excluded(self, rng):
+        logits = rng.standard_normal((4, 3)).astype(np.float32)
+        labels = np.array([0, 1, 2, 0])
+        full = float(ce_loss(jnp.asarray(logits[:2]),
+                             jnp.asarray(labels[:2]),
+                             jnp.ones(2, bool)))
+        masked = float(ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                               jnp.asarray([True, True, False, False])))
+        assert abs(full - masked) < 1e-6
+
+
+class TestOptim:
+    def test_param_groups(self):
+        params = {"spectrogram_layer": {"lambd": jnp.float32(6.38)},
+                  "fc": {"kernel": jnp.zeros((4, 2)),
+                         "bias": jnp.zeros(2)}}
+        labels = training.param_labels(params)
+        assert labels["spectrogram_layer"]["lambd"] == "tf"
+        assert labels["fc"]["kernel"] == "model"
+
+    def test_lr_split_applies(self):
+        params = {"spectrogram_layer": {"lambd": jnp.float32(6.38)},
+                  "fc": {"kernel": jnp.ones((2, 2))}}
+        opt = training.build_optimizer(
+            dict(optimizer_name="sgd", lr_model=0.1, lr_tf=1.0,
+                 trainable=True), params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, opt.init(params), params)
+        assert float(updates["spectrogram_layer"]["lambd"]) == \
+            pytest.approx(-1.0)
+        assert float(updates["fc"]["kernel"][0, 0]) == pytest.approx(-0.1)
+
+    def test_frozen_lambd(self):
+        params = {"spectrogram_layer": {"lambd": jnp.float32(6.38)},
+                  "fc": {"kernel": jnp.ones((2, 2))}}
+        opt = training.build_optimizer(
+            dict(optimizer_name="sgd", lr_model=0.1, lr_tf=1.0,
+                 trainable=False), params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, opt.init(params), params)
+        assert float(updates["spectrogram_layer"]["lambd"]) == 0.0
+
+
+class TestFit:
+    def test_two_epochs_reduce_loss_and_report(self):
+        cfg = tf_config()
+        tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
+        reports = []
+        state, history = training.fit(cfg, tr, va,
+                                      report_fn=reports.append)
+        assert len(history["records"]) == 2
+        assert len(reports) == 2
+        for key in ["loss", "lambd_est", "valid_loss", "valid_acc",
+                    "best_valid_acc", "best_valid_loss", "energy",
+                    "best_lambd_est"]:
+            assert key in reports[0]
+        # lambda actually moved (trainable=True, lr_tf=1.0)
+        assert history["est_lambd"] != pytest.approx(6.38)
+
+    def test_frozen_lambd_stays(self):
+        cfg = tf_config(trainable=False, max_epochs=1)
+        tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
+        state, history = training.fit(cfg, tr, va)
+        assert history["est_lambd"] == pytest.approx(6.38)
+
+    def test_early_stopping(self):
+        cfg = tf_config(patience=1, max_epochs=50, lr_model=0.0, lr_tf=0.0)
+        tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
+        state, history = training.fit(cfg, tr, va)
+        # zero LR -> valid loss never improves after epoch 0 -> stops at 2
+        assert history["converged"]
+        assert len(history["records"]) <= 3
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = tf_config(max_epochs=1)
+        tr, va, te = data.get_dataset_by_config(cfg, "/tmp")
+        state, _ = training.fit(cfg, tr, va, checkpoint_dir=str(tmp_path))
+        restored = training.load_checkpoint(
+            str(tmp_path / "best_model"),
+            {"params": state["params"], "opt_state": state["opt_state"],
+             "batch_stats": state["batch_stats"]})
+        assert "params" in restored
+        labels, preds = training.predict(cfg, restored, te, batch_size=16)
+        assert labels.shape == preds.shape == (40,)
+
+    def test_predict_accuracy_better_than_chance(self):
+        cfg = tf_config(max_epochs=5, n_samples=400)
+        tr, va, te = data.get_dataset_by_config(cfg, "/tmp")
+        state, history = training.fit(cfg, tr, va)
+        labels, preds = training.predict(cfg, state, te)
+        acc = float((labels == preds).mean())
+        assert acc > 0.4  # 3 classes, chance = 0.33
+
+
+class TestPANNsImport:
+    def test_cnn6_weight_import(self):
+        from dmel_tpu import models
+        # build a tiny torch-like state dict matching Cnn6 module names
+        model = models.MelPANNsNet(
+            n_classes=50, init_lambd=46.67, n_mels=64, n_points=2000,
+            sample_rate=8000, hop_length=80, optimized=True,
+            window_length=512, energy_normalize=True)
+        x = jnp.zeros((1, 2000))
+        variables = jax.tree.map(np.asarray,
+                                 model.init(jax.random.PRNGKey(0), x))
+        sd = {
+            "conv_block1.conv1.weight": torch.ones(64, 1, 5, 5),
+            "conv_block1.bn1.weight": torch.full((64,), 2.0),
+            "conv_block1.bn1.running_mean": torch.full((64,), 3.0),
+            "fc1.weight": torch.ones(512, 512),
+            "fc1.bias": torch.full((512,), 4.0),
+            # AudioSet head: wrong shape, must be skipped (strict=False)
+            "fc_esc50.weight": torch.ones(527, 512),
+        }
+        out = training.import_panns_cnn6(sd, {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"]})
+        p = out["params"]["spectrogram_model"]
+        assert p["conv_block1"]["conv1"]["kernel"].shape == (5, 5, 1, 64)
+        assert float(p["conv_block1"]["conv1"]["kernel"][0, 0, 0, 0]) == 1.0
+        assert float(p["conv_block1"]["bn1"]["scale"][0]) == 2.0
+        assert float(out["batch_stats"]["spectrogram_model"]["conv_block1"]
+                     ["bn1"]["mean"][0]) == 3.0
+        assert float(p["fc1"]["bias"][0]) == 4.0
+        # mismatched head untouched (random init, not all-ones)
+        assert not np.allclose(np.asarray(p["fc_esc50"]["kernel"]), 1.0)
