@@ -1,0 +1,73 @@
+"""Device meshes and sharding specs.
+
+The reference has no distributed training at all (SURVEY.md §2:
+"DP/TP/PP absent; trial-level parallelism only").  The TPU-native design
+adds first-class data parallelism: a 1-D ``('data',)`` mesh over all
+chips, batch-dim-sharded inputs, replicated parameters, and
+XLA-GSPMD-inserted gradient all-reduces over ICI — no hand-written
+collectives.  A second ``'trial'`` axis name is reserved for
+trial-packing (see :mod:`dmel_tpu.parallel.trials`); further axes
+(tensor/pipeline) are left open by design — models here are <5 M params
+and stay replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Build a mesh over the available devices.
+
+    Defaults to a 1-D data mesh over all local devices.  ``shape`` must
+    multiply to the device count when given.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over ``axis``, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of host arrays with the batch dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
+
+    On single-host (or when args are None and no cluster env is
+    detected) this is a no-op, so the same entrypoint works from one
+    chip to a multi-host slice.
+    """
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

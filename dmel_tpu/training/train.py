@@ -118,12 +118,19 @@ def fit(config: dict, trainset, validset, *,
         checkpoint_dir: Optional[str] = None,
         report_fn: Optional[Callable[[dict], None]] = None,
         verbose: int = 0, seed: int = 0,
-        pretrained_state_dict: Optional[dict] = None):
+        pretrained_state_dict: Optional[dict] = None,
+        mesh=None):
     """Train a model per the experiment config; returns (state, history).
 
     ``state`` is a dict with params / opt_state / batch_stats.
     ``history`` carries the reference's summary keys plus a per-epoch
     ``records`` list (the tune.report round-trip equivalent).
+
+    With ``mesh`` (a 1-axis jax Mesh), training is data-parallel:
+    parameters are replicated, batches are sharded over the mesh axis,
+    and XLA inserts the gradient all-reduce (psum over ICI) — the jitted
+    step itself is unchanged (GSPMD).  batch_size must be divisible by
+    the mesh size.
     """
     name = config["model_name"]
     one_hot = "panns" in name
@@ -173,6 +180,20 @@ def fit(config: dict, trainset, validset, *,
     optimizer = build_optimizer(config, params)
     opt_state = optimizer.init(params)
 
+    if mesh is not None:
+        from dmel_tpu.parallel.mesh import batch_sharding, replicate
+        assert batch_size % mesh.devices.size == 0, (
+            f"batch_size {batch_size} not divisible by mesh size "
+            f"{mesh.devices.size}")
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        if batch_stats is not None:
+            batch_stats = replicate(batch_stats, mesh)
+        _bsh = batch_sharding(mesh)
+        place = lambda t: jax.device_put(t, _bsh)  # noqa: E731
+    else:
+        place = jnp.asarray
+
     history = {
         "best_valid_acc": 0.0,
         "best_valid_loss": np.inf,
@@ -198,7 +219,7 @@ def fit(config: dict, trainset, validset, *,
                     model, train_step, eval_step = steps_for(wl)
             params, opt_state, batch_stats, rng, m = train_step(
                 params, opt_state, batch_stats, rng,
-                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(mask))
+                place(xs), place(ys), place(mask))
             tot_loss += float(m["loss"])
             tot_energy += float(m["energy"])
             count += 1
@@ -212,8 +233,8 @@ def fit(config: dict, trainset, validset, *,
         # --- valid epoch ---------------------------------------------
         v_loss, v_acc, v_n = 0.0, 0.0, 0
         for xs, ys, mask in validloader:
-            m = eval_step(params, batch_stats, jnp.asarray(xs),
-                          jnp.asarray(ys), jnp.asarray(mask))
+            m = eval_step(params, batch_stats, place(xs), place(ys),
+                          place(mask))
             v_loss += float(m["loss"])
             v_acc += float(m["acc"])
             v_n += 1

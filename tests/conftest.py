@@ -14,11 +14,19 @@ if "xla_force_host_platform_device_count" not in flags:
 # Hard-force CPU: the ambient environment may point JAX_PLATFORMS at a
 # tunneled TPU (e.g. "axon"), which would make every parametrized test a
 # remote compile.  Override with DMEL_TEST_PLATFORM to test on hardware.
-os.environ["JAX_PLATFORMS"] = os.environ.get("DMEL_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("DMEL_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 # Persistent compilation cache: this sandbox shows rare multi-minute XLA
 # compile stalls; caching makes reruns immune to them.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/jax_compilation_cache")
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize registers a tunneled-TPU PJRT plugin and
+# force-sets jax_platforms="axon,cpu" AFTER env parsing — re-override so
+# tests really run on the local CPU with the virtual 8-device mesh.
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,110 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmel_tpu import data, models, parallel, training
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
+    return parallel.make_mesh(("data",), devices=jax.devices()[:8])
+
+
+def small_cfg(**over):
+    cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+               init_lambd=10.0, n_points=256, hop_length=16,
+               optimized=False, normalize_window=False, n_mels=16,
+               resample_rate=8000, energy_normalize=True,
+               optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+               trainable=True, batch_size=16, max_epochs=2, patience=100)
+    cfg.update(over)
+    return cfg
+
+
+def toy_dataset(n=64, n_points=256, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.standard_normal((n, n_points)).astype(np.float32)
+    ys = (rng.integers(0, 10, n)).astype(np.int32)
+    return data.ArrayDataset(xs, ys, 8000)
+
+
+class TestMesh:
+    def test_make_mesh(self, mesh8):
+        assert mesh8.devices.size == 8
+        assert mesh8.axis_names == ("data",)
+
+    def test_shard_and_replicate(self, mesh8):
+        x = jnp.zeros((16, 4))
+        xs = jax.device_put(x, parallel.batch_sharding(mesh8))
+        assert len(xs.sharding.device_set) == 8
+        p = parallel.replicate({"w": jnp.zeros((3, 3))}, mesh8)
+        assert p["w"].sharding.is_fully_replicated
+
+
+class TestDataParallelFit:
+    def test_dp_fit_matches_single_device(self, mesh8):
+        """DP over 8 devices must be numerically equivalent to 1 device
+        (same data order, deterministic ops)."""
+        cfg = small_cfg(max_epochs=1)
+        tr = toy_dataset(64)
+        va = toy_dataset(32, seed=1)
+        state1, hist1 = training.fit(cfg, tr, va, seed=0)
+        state8, hist8 = training.fit(cfg, tr, va, seed=0, mesh=mesh8)
+        l1 = hist1["records"][0]["loss"]
+        l8 = hist8["records"][0]["loss"]
+        assert abs(l1 - l8) < 1e-4 * max(1.0, abs(l1))
+        d = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state1["params"], state8["params"])
+        assert max(jax.tree.leaves(d)) < 1e-4
+
+    def test_dp_batch_divisibility_check(self, mesh8):
+        cfg = small_cfg(batch_size=12)  # not divisible by 8
+        tr = toy_dataset(24)
+        with pytest.raises(AssertionError):
+            training.fit(cfg, tr, tr, mesh=mesh8)
+
+
+class TestMultiTrial:
+    def test_fit_trials_runs_and_separates(self):
+        configs = [small_cfg(init_lambd=5.0, max_epochs=2),
+                   small_cfg(init_lambd=20.0, max_epochs=2),
+                   small_cfg(init_lambd=20.0, trainable=False,
+                             max_epochs=2)]
+        tr = toy_dataset(48)
+        va = toy_dataset(16, seed=1)
+        state, hists = parallel.fit_trials(configs, tr, va)
+        assert len(hists) == 3
+        lambds = np.asarray(state["params"]["spectrogram_layer"]["lambd"])
+        # trainable trials moved, frozen trial did not
+        assert lambds[0] != pytest.approx(5.0)
+        assert lambds[2] == pytest.approx(20.0)
+        for h in hists:
+            assert len(h["records"]) == 2
+
+    def test_fit_trials_sharded_matches_unsharded(self, mesh8):
+        configs = [small_cfg(init_lambd=5.0 + i, max_epochs=1)
+                   for i in range(8)]
+        tr = toy_dataset(32)
+        va = toy_dataset(16, seed=1)
+        _, h_un = parallel.fit_trials(configs, tr, va)
+        _, h_sh = parallel.fit_trials(configs, tr, va, mesh=mesh8)
+        for a, b in zip(h_un, h_sh):
+            assert a["records"][0]["loss"] == pytest.approx(
+                b["records"][0]["loss"], rel=1e-4)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (4, 50)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
