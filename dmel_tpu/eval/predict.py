@@ -1,0 +1,126 @@
+"""Test-set prediction over a finished sweep.
+
+Parity target: /root/reference/predict_test.py + ``get_predictions_by_row_new``
+(utils.py:263-286): for every trial row, rebuild the model from its
+config, restore the best checkpoint, run argmax inference on the test
+split, and write ``{dataset}.csv`` with a ``test_accuracy`` column plus
+``{dataset}_predictionss.npy`` / ``{dataset}_labelss.npy``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from dmel_tpu.data.loader import BatchLoader
+from dmel_tpu.data.registry import get_dataset_by_config
+from dmel_tpu.experiments.runner import get_config_by_row, load_results
+from dmel_tpu.models.registry import get_model_by_config
+from dmel_tpu.ops.spectrogram import optimized_window_length
+from dmel_tpu.training.checkpoint import load_checkpoint
+
+
+def _coerce(config: dict) -> dict:
+    """results.csv round-trip stringifies some values; coerce back."""
+    out = dict(config)
+    for k in ("trainable", "optimized", "normalize_window",
+              "energy_normalize", "augment", "pretrained",
+              "center_offset"):
+        if k in out and isinstance(out[k], str):
+            out[k] = out[k] == "True"
+    for k in ("n_points", "hop_length", "batch_size", "max_epochs",
+              "patience", "n_mels", "resample_rate", "n_samples"):
+        if k in out and out[k] is not None and not isinstance(out[k], bool):
+            try:
+                out[k] = int(float(out[k]))
+            except (TypeError, ValueError):
+                pass
+    for k in ("init_lambd", "lr_model", "lr_tf", "noise_std", "sigma_ref"):
+        if k in out and out[k] is not None:
+            try:
+                out[k] = float(out[k])
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+def predictions_by_row(row: dict, testloader) -> tuple:
+    """Rebuild model + restore best checkpoint for one results row and
+    predict (utils.py:263-286)."""
+    config = _coerce(get_config_by_row(row))
+    ckpt_path = os.path.join(row["logdir"], "checkpoint_000000",
+                             "best_model")
+    restored = load_checkpoint(ckpt_path)
+    params = restored["params"]
+    batch_stats = restored.get("batch_stats")
+
+    wl = None
+    if config.get("optimized", False):
+        wl = optimized_window_length(
+            float(np.asarray(params["spectrogram_layer"]["lambd"])))
+    model = get_model_by_config(config, window_length=wl)
+
+    @jax.jit
+    def forward(params, batch_stats, xs):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits, _ = model.apply(variables, xs, train=False)
+        return jax.numpy.argmax(logits, axis=-1)
+
+    preds, labels = [], []
+    for xs, ys, mask in testloader:
+        p = np.asarray(forward(params, batch_stats, jax.numpy.asarray(xs)))
+        preds.append(p[mask])
+        labels.append(ys[mask])
+    return np.concatenate(labels), np.concatenate(preds)
+
+
+def predict_test(sweep_dir: str, data_dir: str, batch_size: int = 32,
+                 verbose: int = 1):
+    """Run test predictions for every trial; write ``{dataset}.csv``
+    (predict_test.py:10-38 parity).  Returns the augmented dataframe."""
+    df = load_results(sweep_dir)
+    if not len(df):
+        raise ValueError(f"no finished trials in {sweep_dir}")
+    dataset_name = str(df.iloc[0]["config/dataset_name"])
+
+    config0 = _coerce(get_config_by_row(df.iloc[0].to_dict()))
+    _, _, testset = get_dataset_by_config(config0, data_dir)
+    testloader = BatchLoader(testset, batch_size, shuffle=False)
+
+    accs, predss, labelss = [], [], []
+    for _, row in df.iterrows():
+        labels, preds = predictions_by_row(row.to_dict(), testloader)
+        acc = float(np.mean(labels == preds))
+        accs.append(acc)
+        predss.append(preds)
+        labelss.append(labels)
+        if verbose:
+            print(f"{os.path.basename(str(row['logdir']))}: "
+                  f"test_accuracy={acc:.4f}")
+
+    df = df.copy()
+    df["test_accuracy"] = accs
+    df.to_csv(os.path.join(sweep_dir, f"{dataset_name}.csv"), index=False)
+    np.save(os.path.join(sweep_dir, f"{dataset_name}_predictionss.npy"),
+            np.asarray(predss))
+    np.save(os.path.join(sweep_dir, f"{dataset_name}_labelss.npy"),
+            np.asarray(labelss))
+    return df
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(description="Test predictions.")
+    parser.add_argument("--sweep_dir", required=True, type=str)
+    parser.add_argument("--data_dir", required=True, type=str)
+    parser.add_argument("--batch_size", type=int, default=32)
+    args = parser.parse_args(argv)
+    predict_test(args.sweep_dir, args.data_dir, args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

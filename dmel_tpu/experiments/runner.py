@@ -1,0 +1,173 @@
+"""Experiment runner: resumable trial sweeps with CSV round-trip.
+
+The TPU-native replacement for the reference's Ray Tune orchestration
+(/root/reference/main.py:85-150).  A sweep is a directory:
+
+    <output_dir>/<name>/
+        manifest.json              trial -> status (resumable)
+        trial_00000/
+            config.json            flat config (round-trippable)
+            progress.csv           per-epoch metric records
+            checkpoint_000000/
+                best_model         best-on-valid-loss checkpoint
+        results.csv                one row per finished trial with
+                                   config/* columns + final metrics
+
+The ``config/*`` column convention matches Ray's dataframe export so the
+eval layer can rebuild any trial's model from a results row
+(utils.py:38-44 ``get_config_by_row`` parity).  Ray-style fault
+tolerance (tune.Tuner.restore) maps to ``resume=True``: finished trials
+are skipped via the manifest.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Optional
+
+from dmel_tpu.data.registry import get_dataset_by_config
+from dmel_tpu.experiments.configs import expand_grid, get_search_space
+from dmel_tpu.training.train import fit
+
+
+def trial_dirname(i: int) -> str:
+    return f"trial_{i:05d}"
+
+
+def _write_progress_csv(path: str, records, config: dict) -> None:
+    if not records:
+        return
+    cfg_cols = {f"config/{k}": v for k, v in config.items()}
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(
+            f, fieldnames=list(records[0].keys()) + list(cfg_cols.keys()))
+        writer.writeheader()
+        for r in records:
+            writer.writerow({**r, **cfg_cols})
+
+
+def run_trial(config: dict, data_dir: str, trial_dir: str,
+              seed: int = 0, verbose: int = 0):
+    """Train one trial (run_experiment parity, main.py:17-83)."""
+    os.makedirs(trial_dir, exist_ok=True)
+    with open(os.path.join(trial_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+    trainset, validset, _ = get_dataset_by_config(config, data_dir)
+
+    pretrained_sd = None
+    if config.get("pretrained") and config.get("checkpoint_path"):
+        path = config["checkpoint_path"]
+        if os.path.exists(path):
+            import torch
+            pretrained_sd = torch.load(path, map_location="cpu",
+                                       weights_only=False)["model"]
+        elif verbose:
+            print(f"pretrained checkpoint not found: {path} "
+                  "(zero-egress environment; skipping download)")
+
+    ckpt_dir = os.path.join(trial_dir, "checkpoint_000000")
+    state, history = fit(config, trainset, validset,
+                         checkpoint_dir=ckpt_dir, seed=seed,
+                         verbose=verbose,
+                         pretrained_state_dict=pretrained_sd)
+
+    _write_progress_csv(os.path.join(trial_dir, "progress.csv"),
+                        history["records"], config)
+    summary = {k: v for k, v in history.items() if k != "records"}
+    if history["records"]:
+        summary.update(history["records"][-1])
+    with open(os.path.join(trial_dir, "result.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    return state, history
+
+
+def run_sweep(name: str, num_samples: int, max_epochs: int,
+              output_dir: str, data_dir: str, *,
+              resume: bool = True, verbose: int = 0,
+              space: Optional[dict] = None):
+    """Expand the search space and run every trial (sequentially on this
+    host's chip; see dmel_tpu.parallel.fit_trials for packed variants).
+
+    Returns the sweep directory.  Safe to re-invoke after interruption:
+    finished trials are skipped via manifest.json.
+    """
+    space = space if space is not None else get_search_space(name,
+                                                            max_epochs)
+    grid = expand_grid(space)
+    trials = [dict(cfg, trial_repeat=rep)
+              for rep in range(num_samples) for cfg in grid]
+
+    sweep_dir = os.path.join(output_dir, name)
+    os.makedirs(sweep_dir, exist_ok=True)
+    manifest_path = os.path.join(sweep_dir, "manifest.json")
+    manifest = {}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    for i, config in enumerate(trials):
+        tname = trial_dirname(i)
+        if manifest.get(tname) == "done":
+            if verbose:
+                print(f"skip finished {tname}")
+            continue
+        if verbose:
+            print(f"=== {tname}: init_lambd={config.get('init_lambd')}, "
+                  f"trainable={config.get('trainable')} ===")
+        manifest[tname] = "running"
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+        run_trial(config, data_dir, os.path.join(sweep_dir, tname),
+                  seed=i, verbose=verbose)
+        manifest[tname] = "done"
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    collect_results(sweep_dir)
+    return sweep_dir
+
+
+def collect_results(sweep_dir: str):
+    """Aggregate trial results into results.csv (Ray get_dataframe
+    analog: one row per trial, config/* columns + final/best metrics)."""
+    import pandas as pd
+    rows = []
+    for entry in sorted(os.listdir(sweep_dir)):
+        tdir = os.path.join(sweep_dir, entry)
+        result_path = os.path.join(tdir, "result.json")
+        config_path = os.path.join(tdir, "config.json")
+        if not (os.path.isfile(result_path) and os.path.isfile(config_path)):
+            continue
+        with open(result_path) as f:
+            row = json.load(f)
+        with open(config_path) as f:
+            config = json.load(f)
+        row.update({f"config/{k}": v for k, v in config.items()})
+        row["logdir"] = tdir
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    if len(df):
+        df.to_csv(os.path.join(sweep_dir, "results.csv"), index=False)
+    return df
+
+
+def load_results(sweep_dir: str):
+    """Load (or rebuild) the sweep results dataframe."""
+    import pandas as pd
+    path = os.path.join(sweep_dir, "results.csv")
+    if os.path.exists(path):
+        return pd.read_csv(path)
+    return collect_results(sweep_dir)
+
+
+def get_config_by_row(row: dict) -> dict:
+    """Extract the flat config back out of a results row
+    (utils.py:38-44 parity)."""
+    config = {}
+    for k, v in row.items():
+        if isinstance(k, str) and k.startswith("config/"):
+            config[k.split("/", 1)[1]] = v
+    return config

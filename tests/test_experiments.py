@@ -1,0 +1,126 @@
+"""Experiment runner + eval pipeline tests (SURVEY.md §2 C15-C20)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dmel_tpu import experiments
+from dmel_tpu.experiments import runner
+
+
+def tiny_space(max_epochs=1):
+    return dict(
+        model_name="linear_net", hop_length=1, optimized=False,
+        normalize_window=False, optimizer_name="sgd", lr_model=1e-3,
+        lr_tf=1.0, batch_size=32, max_epochs=max_epochs, patience=100,
+        n_points=64, noise_std=0.5, n_samples=120, sigma_ref=6.38,
+        dataset_name="time_frequency", center_offset=False, data_seed=0,
+        trainable=experiments.grid_search([True, False]),
+        init_lambd=experiments.grid_search([1.276, 6.38]),
+    )
+
+
+class TestGrid:
+    def test_expand_grid(self):
+        space = {"a": experiments.grid_search([1, 2]),
+                 "b": experiments.grid_search(["x", "y"]), "c": 7}
+        out = experiments.expand_grid(space)
+        assert len(out) == 4
+        assert all(cfg["c"] == 7 for cfg in out)
+        assert {(c["a"], c["b"]) for c in out} == {(1, "x"), (1, "y"),
+                                                  (2, "x"), (2, "y")}
+
+    def test_reference_spaces(self):
+        for name, n_grid in [("esc50", 6), ("audio_mnist", 6),
+                             ("time_frequency", 6)]:
+            space = experiments.get_search_space(name, max_epochs=10)
+            cfgs = experiments.expand_grid(space)
+            assert len(cfgs) == n_grid  # 2 trainable x 3 init_lambd
+            assert all(c["max_epochs"] == 10 for c in cfgs)
+
+    def test_space_dispatch_substring(self):
+        s = experiments.get_search_space("my_esc50_run", 5)
+        assert s["dataset_name"] == "esc50"
+        with pytest.raises(ValueError):
+            experiments.get_search_space("unknown", 5)
+
+
+class TestSweep:
+    @pytest.fixture(scope="class")
+    def sweep_dir(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("results")
+        return runner.run_sweep("time_frequency_tiny", num_samples=1,
+                                max_epochs=1, output_dir=str(out),
+                                data_dir="/tmp", space=tiny_space())
+
+    def test_sweep_layout(self, sweep_dir):
+        assert os.path.isfile(os.path.join(sweep_dir, "manifest.json"))
+        assert os.path.isfile(os.path.join(sweep_dir, "results.csv"))
+        trials = [d for d in os.listdir(sweep_dir) if d.startswith("trial_")]
+        assert len(trials) == 4
+        t0 = os.path.join(sweep_dir, "trial_00000")
+        assert os.path.isfile(os.path.join(t0, "config.json"))
+        assert os.path.isfile(os.path.join(t0, "progress.csv"))
+        assert os.path.isfile(os.path.join(t0, "checkpoint_000000",
+                                           "best_model"))
+
+    def test_results_roundtrip(self, sweep_dir):
+        df = runner.load_results(sweep_dir)
+        assert len(df) == 4
+        row = df.iloc[0].to_dict()
+        cfg = runner.get_config_by_row(row)
+        assert cfg["dataset_name"] == "time_frequency"
+        assert "best_valid_acc" in row and "best_lambd_est" in row
+
+    def test_resume_skips_finished(self, sweep_dir, capsys):
+        runner.run_sweep("time_frequency_tiny", num_samples=1,
+                         max_epochs=1,
+                         output_dir=os.path.dirname(sweep_dir),
+                         data_dir="/tmp", space=tiny_space(), verbose=1)
+        out = capsys.readouterr().out
+        assert out.count("skip finished") == 4
+
+    def test_predict_test_and_tables(self, sweep_dir):
+        from dmel_tpu import eval as deval
+        df = deval.predict_test(sweep_dir, "/tmp", verbose=0)
+        assert "test_accuracy" in df.columns
+        assert os.path.isfile(os.path.join(sweep_dir,
+                                           "time_frequency.csv"))
+        table = deval.produce_table_2(sweep_dir, scales=(0.2, 1.0))
+        assert "LinearNet" in table and "DSPEC" in table
+
+    def test_figures(self, sweep_dir, tmp_path):
+        from dmel_tpu import eval as deval
+        p1 = deval.produce_data_example_plot(str(tmp_path / "demo.png"))
+        assert os.path.getsize(p1) > 10000
+        p2 = deval.produce_accuracy_plot(sweep_dir,
+                                         str(tmp_path / "acc.png"))
+        assert os.path.getsize(p2) > 10000
+
+
+class TestComplexity:
+    def test_cost_ratio_shape_and_regimes(self):
+        from dmel_tpu.eval.complexity import cost_ratio
+        ds = np.arange(1, 30)
+        r_nn = cost_ratio(ds, c1=0.0001, init_mi=0.02)
+        assert r_nn.shape == (29,)
+        # NN-dominated: DMEL trains 1 model vs D, ratio falls as D grows
+        assert r_nn[-1] < r_nn[2]
+
+    def test_plot(self, tmp_path):
+        from dmel_tpu.eval.complexity import produce_complexity_plot
+        p = produce_complexity_plot(str(tmp_path / "c.png"))
+        assert os.path.getsize(p) > 10000
+
+
+class TestCLI:
+    def test_cli_runs_sweep(self, tmp_path, monkeypatch):
+        from dmel_tpu.experiments import cli, configs
+        monkeypatch.setitem(configs.SEARCH_SPACES, "tiny",
+                            lambda me: tiny_space(me))
+        cli.main(["--name", "tiny", "--num_samples", "1",
+                  "--max_epochs", "1", "--output_dir", str(tmp_path),
+                  "--data_dir", "/tmp", "--verbose", "0"])
+        assert os.path.isfile(tmp_path / "tiny" / "results.csv")
