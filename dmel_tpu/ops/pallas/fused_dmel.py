@@ -1,0 +1,257 @@
+"""Fused Pallas TPU kernel for the DMEL hot path.
+
+One kernel fuses the whole per-step feature chain that the reference
+spreads over torch.stft + per-sample Python loops
+(/root/reference/time_frequency.py:48-53, models.py:37-53):
+
+    frame -> window multiply -> real DFT -> |.|^2 -> mel GEMM
+
+The DFT is expressed as two MXU GEMMs with cos/sin basis matrices
+(``rfft(v) = v @ C + i v @ S``) — on TPU the MXU makes an O(n^2) DFT
+faster than an O(n log n) VPU FFT for the window sizes used here, and
+the formulation keeps everything in one kernel: the only HBM traffic is
+the strips of input signal in and the tiny (frames x n_mels) output
+out.  The (frames x n_freqs) power spectrogram — 40 MB/sample for the
+reference's ESC-50 configuration — is never materialized.
+
+Grid: ``(batch, frame_blocks, freq_tiles)`` with the freq axis
+innermost. Per (b, t): the frame block is built once from the input
+strip into VMEM scratch (predicated on f == 0), then every freq tile
+streams its C/S columns through the MXU and accumulates the mel
+projection into the resident output block.
+
+The backward pass is the exact adjoint chain (dP = g @ FB^T,
+dRe/dIm = 2 Re/Im * dP, dfw = dRe C^T + dIm S^T, dw = sum frames*dfw,
+dx = overlap-scatter of dfw*w), implemented with the same basis
+matrices in XLA; a custom VJP wires it up so ``jax.grad`` through the
+trainable window parameter works transparently (SURVEY.md §3.3
+contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmel_tpu.ops.mel import melscale_fbanks
+from dmel_tpu.ops.stft import dft_matrices, num_frames, pad_window
+from dmel_tpu.ops.window import gaussian_window
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _kernel(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
+            *, compute_dtype):
+    """Fuses window-multiply + real-DFT GEMMs + |.|^2 + mel GEMM for one
+    (frame-rows x freq-tile) block.  Mosaic cannot vector-load from
+    unaligned lane offsets, so framing itself (a strided gather) happens
+    in XLA just before the kernel — one memory-bound pass; all compute
+    and all large intermediates stay in VMEM here.
+
+    ``compute_dtype``: DFT-GEMM input dtype.  float32 runs the MXU in
+    full-precision multi-pass mode (parity path, ~1e-5 of float64);
+    bfloat16 is ~4x faster with ~3e-3 relative feature error (fine for
+    training; gate parity tests on float32)."""
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _window():
+        fw_ref[:] = (frames_ref[:] * w_ref[0, :]).astype(compute_dtype)
+
+    fw = fw_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    # bf16 operands use the MXU's native single pass; HIGHEST on bf16 is
+    # rejected by Mosaic (and meaningless).
+    dft_prec = hi if compute_dtype == jnp.float32 else None
+    re = jnp.dot(fw, c_ref[:].astype(compute_dtype), precision=dft_prec,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(fw, s_ref[:].astype(compute_dtype), precision=dft_prec,
+                 preferred_element_type=jnp.float32)
+    p = re * re + im * im
+    contrib = jnp.dot(p, fb_ref[:], precision=hi,
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(f == 0)
+    def _init():
+        out_ref[:] = contrib
+
+    @pl.when(f > 0)
+    def _accum():
+        out_ref[:] += contrib
+
+
+@functools.lru_cache(maxsize=32)
+def _padded_basis(n_fft: int, f_pad: int):
+    from dmel_tpu.ops.stft import _dft_matrices_np
+    c, s = _dft_matrices_np(n_fft)          # float64 numpy (trace-safe)
+    pad = ((0, 0), (0, f_pad - c.shape[1]))
+    return (np.pad(c, pad).astype(np.float32),
+            np.pad(s, pad).astype(np.float32))
+
+
+def _plan(t: int, n_fft: int, hop: int, n_mels: int):
+    n_bins = n_fft // 2 + 1
+    nfr = num_frames(t, hop)
+    tb = min(128, _round_up(nfr, 8))
+    n_tb = -(-nfr // tb)
+    nfr_pad = n_tb * tb
+    strip = (tb - 1) * hop + n_fft
+    strip_pad = _round_up(strip, LANE)
+    f_pad = _round_up(n_bins, LANE)
+    k = f_pad // LANE
+    for m in (4, 3, 2, 1):          # largest freq tile (<=512) dividing f_pad
+        if k % m == 0:
+            ft = LANE * m
+            break
+    n_f = f_pad // ft
+    m_pad = _round_up(n_mels, LANE)
+    return dict(n_bins=n_bins, nfr=nfr, tb=tb, n_tb=n_tb, nfr_pad=nfr_pad,
+                strip=strip, strip_pad=strip_pad, f_pad=f_pad, ft=ft,
+                n_f=n_f, m_pad=m_pad)
+
+
+def _make_frames(x2, n_fft: int, hop: int, plan) -> jnp.ndarray:
+    """(B, T) -> (B * nfr_pad, n_fft) frame rows with torch.stft
+    center/constant padding; rows beyond nfr are clamped repeats
+    (sliced away after the kernel)."""
+    pad = n_fft // 2
+    xp = jnp.pad(x2, ((0, 0), (pad, pad)))
+    starts = jnp.minimum(jnp.arange(plan["nfr_pad"]) * hop,
+                         xp.shape[1] - n_fft)
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx]
+    return frames.reshape((-1, n_fft))
+
+
+def _forward(x2, w, fb_pad, *, n_fft: int, hop: int, plan,
+             interpret: bool, compute_dtype=jnp.float32) -> jnp.ndarray:
+    b = x2.shape[0]
+    tb, ft, m_pad = plan["tb"], plan["ft"], plan["m_pad"]
+    c_np, s_np = _padded_basis(n_fft, plan["f_pad"])
+    c = jnp.asarray(c_np)
+    s = jnp.asarray(s_np)
+    frames = _make_frames(x2, n_fft, hop, plan)
+    n_rows = frames.shape[0]
+
+    grid = (n_rows // tb, plan["n_f"])
+    out = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n_fft), lambda r_, f_: (r_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_fft), lambda r_, f_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, ft), lambda r_, f_: (0, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, ft), lambda r_, f_: (0, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, m_pad), lambda r_, f_: (f_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, m_pad), lambda r_, f_: (r_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, m_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, n_fft), compute_dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * n_fft * plan["f_pad"] * 2
+            + 2 * n_rows * plan["f_pad"] * m_pad,
+            bytes_accessed=frames.size * 4 + n_rows * m_pad * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(frames, w[None, :], c, s, fb_pad)
+    return out.reshape((b, plan["nfr_pad"], m_pad))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _dmel_from_window(x2, w, fb, n_fft, hop, interpret, compute_dtype):
+    """(B, T), (n_fft,) padded window, (n_bins, M) fbank ->
+    (B, nfr, M) mel power."""
+    plan = _plan(x2.shape[1], n_fft, hop, fb.shape[1])
+    fb_pad = jnp.pad(fb, ((0, plan["f_pad"] - fb.shape[0]),
+                          (0, plan["m_pad"] - fb.shape[1])))
+    out = _forward(x2, w, fb_pad, n_fft=n_fft, hop=hop, plan=plan,
+                   interpret=interpret, compute_dtype=compute_dtype)
+    return out[:, :plan["nfr"], :fb.shape[1]]
+
+
+def _dmel_fwd(x2, w, fb, n_fft, hop, interpret, compute_dtype):
+    return (_dmel_from_window(x2, w, fb, n_fft, hop, interpret,
+                              compute_dtype), (x2, w, fb))
+
+
+def _dmel_bwd(n_fft, hop, interpret, compute_dtype, res, g):
+    """Exact adjoint chain in XLA with the same DFT basis matrices."""
+    x2, w, fb = res
+    t = x2.shape[1]
+    nfr = num_frames(t, hop)
+    pad = n_fft // 2
+    xp = jnp.pad(x2, ((0, 0), (pad, pad)))
+    idx = (jnp.arange(nfr) * hop)[:, None] + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx]                         # (B, nfr, n_fft)
+    fw = frames * w
+    c, s = dft_matrices(n_fft, dtype=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(fw, c, precision=hi)
+    im = jnp.matmul(fw, s, precision=hi)
+    dp = jnp.matmul(g, fb.T, precision=hi)      # (B, nfr, n_bins)
+    dre = 2.0 * re * dp
+    dim = 2.0 * im * dp
+    dfw = (jnp.matmul(dre, c.T, precision=hi)
+           + jnp.matmul(dim, s.T, precision=hi))
+    dw = jnp.sum(frames * dfw, axis=(0, 1))
+    dxp = jnp.zeros_like(xp).at[:, idx].add(dfw * w)
+    dx = dxp[:, pad:pad + t]
+    dfb = jnp.einsum("bnf,bnm->fm", re * re + im * im, g,
+                     precision=hi)
+    return dx, dw, dfb
+
+
+_dmel_from_window.defvjp(_dmel_fwd, _dmel_bwd)
+
+
+def dmel_power(x, lambd, *, win_length: int, n_fft: int, hop_length: int,
+               n_mels: int, sample_rate: int, f_min: float = 0.0,
+               f_max: Optional[float] = None,
+               normalize_window: bool = False,
+               interpret: Optional[bool] = None,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Fused mel power spectrogram ``(..., n_mels, n_frames)``.
+
+    Numerically matches the XLA path (``ops.mel_spectrogram``) to the
+    1e-4 feature gate; differentiable in ``lambd`` (via the window
+    values) and ``x``.  Falls back to interpreter mode off-TPU so tests
+    run on CPU.
+    """
+    if f_max is None:
+        f_max = sample_rate // 2
+    if interpret is None:
+        interpret = not _on_tpu()
+    orig_shape = x.shape
+    x2 = x.reshape((-1, orig_shape[-1])).astype(jnp.float32)
+    window = gaussian_window(lambd, win_length, norm=normalize_window,
+                             dtype=jnp.float32)
+    w = pad_window(window, n_fft)
+    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate,
+                         dtype=jnp.float32)
+    out = _dmel_from_window(x2, w, fb, n_fft, hop_length, interpret,
+                            jnp.dtype(compute_dtype))
+    out = jnp.swapaxes(out, -1, -2)             # (B, M, nfr)
+    return out.reshape(orig_shape[:-1] + out.shape[1:])
