@@ -174,6 +174,7 @@ def main():
     candidates = {
         "pallas-f32": pal_loss(jnp.float32),
         "xla-matmul": xla_loss("matmul"),
+        "xla-matmul_ext": xla_loss("matmul_ext"),
     }
     extras = {"pallas-bf16": pal_loss(jnp.bfloat16)}
 

@@ -23,5 +23,6 @@ from dmel_tpu.data.splits import (  # noqa: F401
     AUDIO_MNIST_VALID_SPEAKERS,
     AUDIO_MNIST_TEST_SPEAKERS,
 )
+from dmel_tpu.data.fsd import fsd50k  # noqa: F401
 from dmel_tpu.data.loader import BatchLoader  # noqa: F401
 from dmel_tpu.data.registry import get_dataset_by_config  # noqa: F401

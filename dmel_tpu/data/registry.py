@@ -37,6 +37,12 @@ def get_dataset_by_config(config: dict, data_dir: str,
     if name == "audio_mnist":
         return _audio_mnist_splits(data_dir)
 
+    if name == "fsd":
+        from dmel_tpu.data.fsd import fsd50k
+        return fsd50k(data_dir,
+                      resample_rate=config.get("resample_rate", 8000),
+                      n_points=config.get("n_points", 40000))
+
     if name == "esc50":
         dataset = audio.esc50(data_dir,
                               resample_rate=config["resample_rate"])

@@ -7,6 +7,7 @@ from dmel_tpu.experiments.configs import (  # noqa: F401
     esc50,
     audio_mnist,
     time_frequency,
+    fsd,
 )
 from dmel_tpu.experiments.runner import (  # noqa: F401
     run_trial,

@@ -118,7 +118,37 @@ def time_frequency(max_epochs: int) -> Dict[str, Any]:
     }
 
 
+def fsd(max_epochs: int):
+    """FSD50K space (BASELINE.json configs[3]): DMEL + PANNs CNN6,
+    multi-label BCE over 200 classes; same lambda grid as ESC-50."""
+    resample_rate = 8000
+    return {
+        "model_name": "panns_cnn6",
+        "n_mels": 64,
+        "hop_length": int(resample_rate * 0.010),
+        "energy_normalize": True,
+        "optimized": True,
+        "normalize_window": False,
+        "augment": True,
+        "pretrained": False,
+        "checkpoint_path": "weights/Cnn6_mAP=0.343.pth",
+        "optimizer_name": "adam",
+        "lr_model": 1e-4,
+        "lr_tf": 1.0,
+        "batch_size": 32,
+        "trainable": grid_search([True, False]),
+        "max_epochs": max_epochs,
+        "patience": 100,
+        "resample_rate": resample_rate,
+        "init_lambd": grid_search([(resample_rate * x) / 6
+                                   for x in [0.01, 0.035, 0.3]]),
+        "dataset_name": "fsd",
+        "n_points": resample_rate * 5,
+    }
+
+
 SEARCH_SPACES = {
+    "fsd": fsd,
     "esc50": esc50,
     "audio_mnist": audio_mnist,
     "time_frequency": time_frequency,

@@ -2,6 +2,7 @@
 
 from dmel_tpu.models.layers import (  # noqa: F401
     MelSpectrogramLayer,
+    MultiSigmaMelSpectrogramLayer,
     SpectrogramLayer,
 )
 from dmel_tpu.models.classifiers import (  # noqa: F401

@@ -22,7 +22,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dmel_tpu.models.common import kaiming_uniform_torch, torch_bias_init
-from dmel_tpu.models.layers import MelSpectrogramLayer, SpectrogramLayer
+from dmel_tpu.models.layers import (
+    MelSpectrogramLayer,
+    MultiSigmaMelSpectrogramLayer,
+    SpectrogramLayer,
+)
 from dmel_tpu.models.panns import Cnn6
 
 LOG_EPS = 1e-10
@@ -48,12 +52,22 @@ class _MelFrontEnd(nn.Module):
     normalize_window: bool = False
     eval_dropout: bool = False
     impl: str = "xla"
+    n_sigma: int = 1
 
     @property
     def size(self) -> Tuple[int, int]:
         return (self.n_mels, self.n_points // self.hop_length + 1)
 
     def _spectrogram_layer(self):
+        if self.n_sigma > 1:
+            return MultiSigmaMelSpectrogramLayer(
+                init_lambd=self.init_lambd, n_sigma=self.n_sigma,
+                n_mels=self.n_mels, n_points=self.n_points,
+                sample_rate=self.sample_rate, hop_length=self.hop_length,
+                optimized=self.optimized,
+                window_length=self.window_length,
+                normalize_window=self.normalize_window,
+                name="spectrogram_layer")
         return MelSpectrogramLayer(
             init_lambd=self.init_lambd, n_mels=self.n_mels,
             n_points=self.n_points, sample_rate=self.sample_rate,

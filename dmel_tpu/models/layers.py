@@ -49,7 +49,7 @@ class MelSpectrogramLayer(nn.Module):
     window_length: Optional[int] = None
     normalize_window: bool = False
     impl: str = "xla"
-    method: str = "fft"
+    method: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -61,6 +61,42 @@ class MelSpectrogramLayer(nn.Module):
             optimized=self.optimized, window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
             method=self.method)
+        return mel[:, None, :, :]
+
+
+class MultiSigmaMelSpectrogramLayer(nn.Module):
+    """Multi-sigma DMEL: a vector of per-mel-band trainable window
+    lengths (BASELINE.json configs[4] extension; see
+    :func:`dmel_tpu.ops.multi_sigma_mel_spectrogram`).
+
+    The parameter keeps the name ``lambd`` so optimizer grouping
+    (lr_tf), freezing, and trajectory logging work unchanged.
+    """
+
+    init_lambd: float
+    n_sigma: int
+    n_mels: int
+    n_points: int
+    sample_rate: int
+    f_min: float = 0.0
+    f_max: Optional[float] = None
+    hop_length: int = 1
+    optimized: bool = False
+    window_length: Optional[int] = None
+    normalize_window: bool = False
+    method: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        lambd = self.param(
+            "lambd",
+            lambda _: jnp.full((self.n_sigma,), self.init_lambd,
+                               jnp.float32))
+        mel = ops.multi_sigma_mel_spectrogram(
+            x, lambd, n_mels=self.n_mels, sample_rate=self.sample_rate,
+            hop_length=self.hop_length, f_min=self.f_min, f_max=self.f_max,
+            optimized=self.optimized, window_length=self.window_length,
+            normalize_window=self.normalize_window, method=self.method)
         return mel[:, None, :, :]
 
 
@@ -76,7 +112,7 @@ class SpectrogramLayer(nn.Module):
     optimized: bool = False
     window_length: Optional[int] = None
     normalize_window: bool = False
-    method: str = "fft"
+    method: str = "auto"
 
     @nn.compact
     def __call__(self, x):

@@ -58,6 +58,7 @@ def get_model_by_config(config: dict,
         energy_normalize=config.get("energy_normalize", False),
         normalize_window=config["normalize_window"],
         impl=config.get("impl", "xla"),
+        n_sigma=int(config.get("n_sigma", 1)),
     )
 
     if name == "linear_net":

@@ -14,6 +14,8 @@ from dmel_tpu.ops.stft import (  # noqa: F401
     frame_signal,
     pad_window,
     stft_power,
+    stft_power_folded,
+    stft_power_conv,
     dft_matrices,
     num_frames,
 )
@@ -30,4 +32,6 @@ from dmel_tpu.ops.spectrogram import (  # noqa: F401
 from dmel_tpu.ops.dmel import (  # noqa: F401
     mel_spectrogram,
     log_mel_spectrogram,
+    multi_sigma_mel_spectrogram,
+    default_band_map,
 )

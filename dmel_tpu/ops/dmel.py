@@ -27,7 +27,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                     window_length: int | None = None,
                     normalize_window: bool = False,
                     subtract_mean: bool = True, abs_lambd: bool = True,
-                    method: str = "fft", impl: str = "xla",
+                    method: str = "auto", impl: str = "xla",
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Batched differentiable mel power spectrogram.
 
@@ -68,10 +68,16 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         else:
             win_length = t
             n_fft = 2 * t
-        return fused_dmel.dmel_power(
-            x, lambd, win_length=win_length, n_fft=n_fft,
-            hop_length=hop_length, n_mels=n_mels, sample_rate=sample_rate,
-            f_min=f_min, f_max=f_max, normalize_window=normalize_window)
+        if n_fft > fused_dmel.MAX_N_FFT:
+            # DFT basis (2 x n_fft x n_fft/2 floats) would blow VMEM
+            # budgets; the XLA FFT path handles long windows instead.
+            impl = "xla"
+        else:
+            return fused_dmel.dmel_power(
+                x, lambd, win_length=win_length, n_fft=n_fft,
+                hop_length=hop_length, n_mels=n_mels,
+                sample_rate=sample_rate, f_min=f_min, f_max=f_max,
+                normalize_window=normalize_window)
 
     s = spectrogram(x, lambd, optimized=optimized, hop_length=hop_length,
                     norm=normalize_window, window_length=window_length,
@@ -88,3 +94,61 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
 def log_mel_spectrogram(x: jnp.ndarray, lambd, **kwargs) -> jnp.ndarray:
     """``log(mel_spectrogram(x) + 1e-10)`` (reference models.py:73)."""
     return jnp.log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)
+
+
+def default_band_map(n_mels: int, n_sigma: int) -> jnp.ndarray:
+    """Contiguous assignment of mel bands to sigma groups: band j uses
+    sigma ``j * n_sigma // n_mels``."""
+    return (jnp.arange(n_mels) * n_sigma) // n_mels
+
+
+def multi_sigma_mel_spectrogram(
+        x: jnp.ndarray, lambds: jnp.ndarray, *, n_mels: int,
+        sample_rate: int, hop_length: int = 1, f_min: float = 0.0,
+        f_max: float | None = None, optimized: bool = False,
+        window_length: int | None = None, normalize_window: bool = False,
+        subtract_mean: bool = True, abs_lambd: bool = True,
+        band_map: jnp.ndarray | None = None, method: str = "auto",
+        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Multi-sigma DMEL: each mel band gets its own trainable window.
+
+    An extension beyond the reference (BASELINE.json configs[4]): a
+    vector of K window-length parameters ``lambds``; mel band j is
+    computed from the spectrogram analyzed with window
+    ``lambds[band_map[j]]`` — low bands can learn long windows (fine
+    frequency resolution) while high bands learn short ones (fine time
+    resolution).  With K == 1 this reduces exactly to
+    :func:`mel_spectrogram`.
+
+    Cost is K power spectrograms; keep K modest (2-8 groups) or accept
+    the linear factor.  Differentiable in every ``lambds[k]``.
+
+    Returns ``(..., n_mels, n_frames)``.
+    """
+    if f_max is None:
+        f_max = sample_rate // 2
+    lambds = jnp.atleast_1d(jnp.asarray(lambds, jnp.float32))
+    k = lambds.shape[0]
+    if band_map is None:
+        band_map = default_band_map(n_mels, k)
+    if subtract_mean:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if abs_lambd:
+        lambds = jnp.abs(lambds)
+
+    def one_sigma(lambd):
+        return spectrogram(x, lambd, optimized=optimized,
+                           hop_length=hop_length, norm=normalize_window,
+                           window_length=window_length, method=method,
+                           precision=precision)
+
+    # (K, ..., F, Tt) — K is small; frames/window work is shared by XLA
+    ps = jax.vmap(one_sigma)(lambds)
+    n_freqs = ps.shape[-2]
+    fb = melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate,
+                         dtype=ps.dtype)
+    # select band j from sigma band_map[j]: mask fb columns per sigma
+    sel = jax.nn.one_hot(band_map, k, dtype=ps.dtype)      # (n_mels, K)
+    fb_k = fb[None, :, :] * sel.T[:, None, :]              # (K, F, n_mels)
+    mel_k = jnp.einsum("k...ft,kfm->...mt", ps, fb_k, precision=precision)
+    return mel_k

@@ -45,6 +45,10 @@ from dmel_tpu.ops.window import gaussian_window
 
 LANE = 128
 
+#: largest FFT size the kernel supports: one (n_fft, 128) basis tile plus
+#: a (128, n_fft) frame block must fit VMEM comfortably.
+MAX_N_FFT = 8192
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

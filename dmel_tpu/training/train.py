@@ -71,13 +71,21 @@ def _loss_and_metrics(model, params, batch_stats, xs, ys, mask, rng,
         new_stats = updates.get("batch_stats", batch_stats)
     else:
         logits, s = out
-    if one_hot:
+    preds = jnp.argmax(logits, axis=-1)
+    if ys.ndim == 2:
+        # multi-label (FSD-style multi-hot float labels): BCE on the
+        # sigmoid outputs; "accuracy" = top-1 precision (is the argmax
+        # prediction one of the true labels).
+        loss = bce_loss(logits, ys.astype(logits.dtype), mask)
+        hit = jnp.take_along_axis(ys, preds[:, None], axis=-1)[:, 0]
+        acc = jnp.sum(hit * mask) / jnp.maximum(jnp.sum(mask), 1)
+    elif one_hot:
         labels = jax.nn.one_hot(ys, n_classes)
         loss = bce_loss(logits, labels, mask)
+        acc = jnp.sum((preds == ys) * mask) / jnp.maximum(jnp.sum(mask), 1)
     else:
         loss = ce_loss(logits, ys, mask)
-    preds = jnp.argmax(logits, axis=-1)
-    acc = jnp.sum((preds == ys) * mask) / jnp.maximum(jnp.sum(mask), 1)
+        acc = jnp.sum((preds == ys) * mask) / jnp.maximum(jnp.sum(mask), 1)
     # spectrogram energy sum(s) over valid rows (reference train.py:58)
     energy = jnp.sum(s * mask[:, None, None, None])
     return loss, (new_stats, acc, energy)
@@ -111,7 +119,9 @@ def make_eval_step(model, one_hot: bool, n_classes: int):
 
 
 def current_lambd(params) -> float:
-    return float(params["spectrogram_layer"]["lambd"])
+    """Scalar lambda estimate; for multi-sigma layers (vector lambd)
+    this is the mean — used for reporting and bucket selection."""
+    return float(jnp.mean(params["spectrogram_layer"]["lambd"]))
 
 
 def fit(config: dict, trainset, validset, *,

@@ -1,0 +1,86 @@
+"""Multi-sigma DMEL tests (per-mel-band trainable windows)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmel_tpu import models, ops
+
+
+class TestMultiSigmaOp:
+    def test_reduces_to_single_sigma(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+        single = ops.mel_spectrogram(x, 10.0, n_mels=16, sample_rate=8000,
+                                     hop_length=8)
+        multi = ops.multi_sigma_mel_spectrogram(
+            x, jnp.full((4,), 10.0), n_mels=16, sample_rate=8000,
+            hop_length=8)
+        assert multi.shape == single.shape
+        err = float(jnp.max(jnp.abs(multi - single)))
+        assert err < 1e-4 * float(jnp.max(jnp.abs(single)))
+
+    def test_band_map_default(self):
+        bm = np.asarray(ops.default_band_map(16, 4))
+        assert bm.tolist() == [0] * 4 + [1] * 4 + [2] * 4 + [3] * 4
+
+    def test_bands_use_their_own_sigma(self, rng):
+        """Changing sigma k must only move bands mapped to k."""
+        x = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+        lam = jnp.asarray([5.0, 20.0])
+        base = ops.multi_sigma_mel_spectrogram(
+            x, lam, n_mels=8, sample_rate=8000, hop_length=8)
+        bumped = ops.multi_sigma_mel_spectrogram(
+            x, lam.at[0].set(7.0), n_mels=8, sample_rate=8000,
+            hop_length=8)
+        diff = np.asarray(jnp.abs(base - bumped).sum(axis=(0, 2)))
+        assert diff[:4].sum() > 0          # group-0 bands moved
+        assert diff[4:].sum() == 0         # group-1 bands untouched
+
+    def test_per_sigma_grads(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+
+        def loss(lam):
+            m = ops.multi_sigma_mel_spectrogram(
+                x, lam, n_mels=8, sample_rate=8000, hop_length=8)
+            return jnp.log(m + 1e-10).sum()
+
+        g = jax.grad(loss)(jnp.asarray([5.0, 20.0]))
+        assert g.shape == (2,)
+        assert all(abs(float(v)) > 0 for v in g)
+
+
+class TestMultiSigmaLayer:
+    def test_layer_and_model_integration(self, rng):
+        cfg = dict(model_name="mel_linear_net",
+                   dataset_name="audio_mnist", init_lambd=20.0,
+                   n_points=256, hop_length=16, optimized=False,
+                   normalize_window=False, n_mels=16, resample_rate=8000,
+                   energy_normalize=True, n_sigma=4)
+        model = models.get_model_by_config(cfg)
+        x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        lam = variables["params"]["spectrogram_layer"]["lambd"]
+        assert lam.shape == (4,)
+        logits, s = model.apply(variables, x)
+        assert logits.shape == (2, 10) and s.shape == (2, 1, 16, 17)
+
+    def test_trains_with_fit(self, rng):
+        from dmel_tpu import data, training
+        cfg = dict(model_name="mel_linear_net",
+                   dataset_name="audio_mnist", init_lambd=20.0,
+                   n_points=256, hop_length=16, optimized=False,
+                   normalize_window=False, n_mels=16, resample_rate=8000,
+                   energy_normalize=True, n_sigma=4,
+                   optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+                   batch_size=16, trainable=True, max_epochs=2,
+                   patience=10)
+        xs = rng.standard_normal((64, 256)).astype(np.float32)
+        ys = rng.integers(0, 10, 64).astype(np.int32)
+        ds = data.ArrayDataset(xs, ys, 8000)
+        state, hist = training.fit(cfg, ds, ds, seed=0)
+        lam = np.asarray(state["params"]["spectrogram_layer"]["lambd"])
+        assert lam.shape == (4,)
+        # trainable vector lambda moved (at least one component)
+        assert np.abs(lam - 20.0).max() > 0
+        assert len(hist["records"]) == 2
