@@ -35,5 +35,7 @@ from dmel_tpu.ops import (  # noqa: F401
     spectrogram,
     mel_spectrogram,
     log_mel_spectrogram,
+    multi_sigma_mel_spectrogram,
     next_power_of_2,
+    optimized_window_length,
 )

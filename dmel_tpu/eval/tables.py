@@ -114,6 +114,37 @@ def produce_table_2(sweep_dir: str, dataset_name: str = "time_frequency",
     return table
 
 
+def produce_result_table(sweep_dir: str, dataset_name: str,
+                         init_lambd: float | None = None) -> str:
+    """Per-model trainable-vs-fixed accuracy table
+    (produce_tables.py:103-141)."""
+    model_names = {"audio_mnist": ["mel_conv_net", "mel_linear_net"],
+                   "esc50": ["panns_cnn6"],
+                   "fsd": ["panns_cnn6"]}.get(dataset_name, [])
+    df = pd.read_csv(os.path.join(sweep_dir, f"{dataset_name}.csv"))
+    df = df[df["config/dataset_name"] == dataset_name]
+    if init_lambd is not None:
+        lam = df["config/init_lambd"].astype(float)
+        df = df[(lam - init_lambd).abs() < 1e-6]
+
+    lines = ["Trainable & True & False \\\\"]
+    tmask = _trainable_mask(df)
+    for model_name in model_names:
+        dm = df[df["config/model_name"] == model_name]
+        if not len(dm):
+            continue
+        dm_mask = _trainable_mask(dm)
+        dtr, dfx = dm[dm_mask], dm[~dm_mask]
+        lines.append(
+            "{} & ${:.2f} \\pm {:.2f}$ & ${:.2f} \\pm {:.2f}$ \\\\".format(
+                get_model_title(model_name),
+                dtr["test_accuracy"].mean(), dtr["test_accuracy"].std(),
+                dfx["test_accuracy"].mean(), dfx["test_accuracy"].std()))
+    table = "\n".join(lines)
+    print(table)
+    return table
+
+
 def main(argv=None):
     import argparse
     parser = argparse.ArgumentParser(description="Produce LaTeX tables.")

@@ -124,3 +124,20 @@ class TestCLI:
                   "--max_epochs", "1", "--output_dir", str(tmp_path),
                   "--data_dir", "/tmp", "--verbose", "0"])
         assert os.path.isfile(tmp_path / "tiny" / "results.csv")
+
+
+class TestResultTable:
+    def test_produce_result_table(self, tmp_path):
+        import pandas as pd
+        from dmel_tpu import eval as deval
+        df = pd.DataFrame([
+            {"config/dataset_name": "esc50", "config/model_name":
+             "panns_cnn6", "config/trainable": True,
+             "config/init_lambd": 33.3, "test_accuracy": 0.8},
+            {"config/dataset_name": "esc50", "config/model_name":
+             "panns_cnn6", "config/trainable": False,
+             "config/init_lambd": 33.3, "test_accuracy": 0.7},
+        ])
+        df.to_csv(tmp_path / "esc50.csv", index=False)
+        table = deval.produce_result_table(str(tmp_path), "esc50")
+        assert "PANNs CNN6" in table and "0.80" in table

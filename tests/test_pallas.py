@@ -114,3 +114,22 @@ class TestPlan:
             assert plan["f_pad"] >= n_fft // 2 + 1
             assert plan["tb"] * plan["n_tb"] == plan["nfr_pad"]
             assert plan["nfr_pad"] >= plan["nfr"]
+
+
+class TestPallasInFit:
+    def test_fit_with_pallas_impl(self, rng):
+        """Train-loop integration: config impl='pallas' end-to-end."""
+        import numpy as np
+        from dmel_tpu import data, training
+        xs = rng.standard_normal((32, 512)).astype(np.float32)
+        ys = rng.integers(0, 10, 32).astype(np.int32)
+        ds = data.ArrayDataset(xs, ys, 8000)
+        cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+                   init_lambd=20.0, n_points=512, hop_length=32,
+                   optimized=True, normalize_window=False, n_mels=16,
+                   resample_rate=8000, energy_normalize=True, impl="pallas",
+                   optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+                   batch_size=16, trainable=True, max_epochs=1, patience=10)
+        state, hist = training.fit(cfg, ds, ds, seed=0)
+        assert np.isfinite(hist["records"][0]["loss"])
+        assert hist["est_lambd"] != 20.0
