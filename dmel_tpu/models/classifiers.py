@@ -53,6 +53,7 @@ class _MelFrontEnd(nn.Module):
     eval_dropout: bool = False
     impl: str = "xla"
     n_sigma: int = 1
+    precision: str = "highest"
 
     @property
     def size(self) -> Tuple[int, int]:
@@ -74,7 +75,7 @@ class _MelFrontEnd(nn.Module):
             hop_length=self.hop_length, optimized=self.optimized,
             window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
-            name="spectrogram_layer")
+            precision=self.precision, name="spectrogram_layer")
 
     def _features(self, x):
         s = self._spectrogram_layer()(x)

@@ -50,9 +50,14 @@ class MelSpectrogramLayer(nn.Module):
     normalize_window: bool = False
     impl: str = "xla"
     method: str = "auto"
+    precision: str = "highest"   # "highest" (parity) | "default" (bf16 MXU)
 
     @nn.compact
     def __call__(self, x):
+        import jax
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[self.precision]
         lambd = self.param(
             "lambd", lambda _: jnp.asarray(self.init_lambd, jnp.float32))
         mel = ops.mel_spectrogram(
@@ -60,7 +65,7 @@ class MelSpectrogramLayer(nn.Module):
             hop_length=self.hop_length, f_min=self.f_min, f_max=self.f_max,
             optimized=self.optimized, window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
-            method=self.method)
+            method=self.method, precision=prec)
         return mel[:, None, :, :]
 
 

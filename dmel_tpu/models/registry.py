@@ -59,6 +59,7 @@ def get_model_by_config(config: dict,
         normalize_window=config["normalize_window"],
         impl=config.get("impl", "xla"),
         n_sigma=int(config.get("n_sigma", 1)),
+        precision=config.get("precision", "highest"),
     )
 
     if name == "linear_net":
