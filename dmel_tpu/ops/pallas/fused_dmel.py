@@ -45,9 +45,9 @@ from dmel_tpu.ops.window import gaussian_window
 
 LANE = 128
 
-#: largest FFT size the kernel supports: one (n_fft, 128) basis tile plus
-#: a (128, n_fft) frame block must fit VMEM comfortably.
-MAX_N_FFT = 8192
+#: largest FFT size the kernel supports: basis tiles + frame blocks must
+#: fit VMEM with double buffering (see _plan's size-dependent tiling).
+MAX_N_FFT = 4096
 
 
 def _round_up(x: int, m: int) -> int:
@@ -113,14 +113,19 @@ def _padded_basis(n_fft: int, f_pad: int):
 def _plan(t: int, n_fft: int, hop: int, n_mels: int):
     n_bins = n_fft // 2 + 1
     nfr = num_frames(t, hop)
-    tb = min(128, _round_up(nfr, 8))
+    # VMEM budget: double-buffered frame blocks (2*tb*n_fft*4) plus
+    # double-buffered C/S tiles (2*2*n_fft*ft*4) must stay well under
+    # ~16 MB; shrink both tiles as n_fft grows.
+    tb_max = 128 if n_fft <= 2048 else 64
+    ft_cap = 4 if n_fft <= 1024 else (2 if n_fft <= 2048 else 1)
+    tb = min(tb_max, _round_up(nfr, 8))
     n_tb = -(-nfr // tb)
     nfr_pad = n_tb * tb
     strip = (tb - 1) * hop + n_fft
     strip_pad = _round_up(strip, LANE)
     f_pad = _round_up(n_bins, LANE)
     k = f_pad // LANE
-    for m in (4, 3, 2, 1):          # largest freq tile (<=512) dividing f_pad
+    for m in range(ft_cap, 0, -1):  # largest allowed tile dividing f_pad
         if k % m == 0:
             ft = LANE * m
             break
@@ -148,9 +153,18 @@ def _forward(x2, w, fb_pad, *, n_fft: int, hop: int, plan,
              interpret: bool, compute_dtype=jnp.float32) -> jnp.ndarray:
     b = x2.shape[0]
     tb, ft, m_pad = plan["tb"], plan["ft"], plan["m_pad"]
-    c_np, s_np = _padded_basis(n_fft, plan["f_pad"])
-    c = jnp.asarray(c_np)
-    s = jnp.asarray(s_np)
+    from dmel_tpu.ops.stft import DEVICE_BASIS_MIN_N_FFT
+    if n_fft >= DEVICE_BASIS_MIN_N_FFT:
+        # generate on device: embedding ~268 MB basis literals in the
+        # program breaks upload/cache limits at large n_fft
+        cd, sd = dft_matrices(n_fft, dtype=jnp.float32)
+        zpad = ((0, 0), (0, plan["f_pad"] - cd.shape[1]))
+        c = jnp.pad(cd, zpad)
+        s = jnp.pad(sd, zpad)
+    else:
+        c_np, s_np = _padded_basis(n_fft, plan["f_pad"])
+        c = jnp.asarray(c_np)
+        s = jnp.asarray(s_np)
     frames = _make_frames(x2, n_fft, hop, plan)
     n_rows = frames.shape[0]
 

@@ -104,11 +104,45 @@ def _dft_matrices_np(n_fft: int):
     return np.cos(ang), np.sin(ang)
 
 
+#: above this size, DFT bases are generated on-device instead of being
+#: embedded as program constants (2 x n_fft x (n_fft/2+1) floats — 268 MB
+#: at n_fft=8192, which breaks program-upload limits and bloats caches).
+DEVICE_BASIS_MIN_N_FFT = 2048
+
+
+def _dft_matrices_device(n_fft: int, dtype):
+    """Generate C/S on device with exact mod-N phase reduction.
+
+    ``m*k`` is exact in float32 up to 2^24, and the mod-N reduction
+    keeps angles in [0, 2pi) so cos/sin stay within ~1e-6 of the
+    float64 bases (valid for n_fft*(n_fft/2) < 2^24, i.e. n_fft<=4096;
+    larger sizes split k to stay exact).
+    """
+    n_bins = n_fft // 2 + 1
+    m = jnp.arange(n_fft, dtype=jnp.float32)[:, None]
+    k = jnp.arange(n_bins, dtype=jnp.float32)[None, :]
+    if n_fft * (n_bins - 1) < 2 ** 24:
+        mk = m * k
+    else:
+        # split k = k_hi*256 + k_lo; reduce each product mod n separately
+        k_hi = jnp.floor(k / 256.0)
+        k_lo = k - k_hi * 256.0
+        mk1 = (m * 256.0) % n_fft * k_hi
+        mk = mk1 % n_fft + m * k_lo
+    mkmod = mk - n_fft * jnp.floor(mk / n_fft)
+    ang = (-2.0 * jnp.pi / n_fft) * mkmod
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
 def dft_matrices(n_fft: int, dtype=jnp.float32):
     """Real-DFT basis matrices ``C, S`` of shape (n_fft, n_fft//2+1).
 
     ``rfft(v) = v @ C + 1j * (v @ S)`` — two MXU GEMMs instead of an FFT.
+    Small sizes are float64-precomputed constants; large sizes are
+    generated on device (see DEVICE_BASIS_MIN_N_FFT).
     """
+    if n_fft >= DEVICE_BASIS_MIN_N_FFT:
+        return _dft_matrices_device(n_fft, dtype)
     c, s = _dft_matrices_np(n_fft)
     return jnp.asarray(c, dtype=dtype), jnp.asarray(s, dtype=dtype)
 
@@ -226,14 +260,15 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
     """
     if method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # hop=1-style dense STFTs have k = n_fft frames per window; the
-        # ext framing only pays off for strided hops.
-        if on_tpu and n_fft // hop_length <= 32:
-            method = "matmul_ext"
-        elif on_tpu:
-            method = "matmul"
-        else:
+        # Measured on v5e (PERF.md): the O(n^2) MXU DFT beats the FFT up
+        # to n_fft ~2048; beyond that n log n wins.  The ext framing
+        # only pays off for strided hops (k = ceil(n_fft/hop) small).
+        if not on_tpu or n_fft > 2048:
             method = "fft"
+        elif n_fft // hop_length <= 32:
+            method = "matmul_ext"
+        else:
+            method = "matmul"
     if method == "folded":
         return stft_power_folded(x, window, n_fft, hop_length,
                                  precision=precision)
