@@ -12,6 +12,7 @@ from dmel_tpu.experiments.configs import (  # noqa: F401
 from dmel_tpu.experiments.runner import (  # noqa: F401
     run_trial,
     run_sweep,
+    run_sweep_packed,
     collect_results,
     load_results,
     get_config_by_row,

@@ -31,11 +31,21 @@ def main(argv=None):
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--no_resume", action="store_true",
                         help="Re-run finished trials instead of skipping.")
+    parser.add_argument("--pack", action="store_true",
+                        help="Run all trials as one vmapped program "
+                             "(fixed epochs, no per-trial early stop).")
     args = parser.parse_args(argv)
 
-    sweep_dir = run_sweep(args.name, args.num_samples, args.max_epochs,
-                          args.output_dir, args.data_dir,
-                          resume=not args.no_resume, verbose=args.verbose)
+    if args.pack:
+        from dmel_tpu.experiments.runner import run_sweep_packed
+        sweep_dir = run_sweep_packed(args.name, args.num_samples,
+                                     args.max_epochs, args.output_dir,
+                                     args.data_dir, verbose=args.verbose)
+    else:
+        sweep_dir = run_sweep(args.name, args.num_samples, args.max_epochs,
+                              args.output_dir, args.data_dir,
+                              resume=not args.no_resume,
+                              verbose=args.verbose)
     print(f"sweep complete: {sweep_dir}")
 
 

@@ -16,7 +16,7 @@ Adam, whose updates are linear in lr.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -188,11 +188,25 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
         v_acc /= max(v_n, 1)
 
         lambds = np.asarray(params["spectrogram_layer"]["lambd"])
+        if lambds.ndim > 1:
+            lambds = lambds.mean(axis=tuple(range(1, lambds.ndim)))
+        improved = [i for i, h in enumerate(histories)
+                    if v_loss[i] < h["best_valid_loss"]]
+        if improved:
+            host_params = jax.device_get(params)
+            host_stats = (jax.device_get(batch_stats)
+                          if batch_stats is not None else None)
         for i, h in enumerate(histories):
             if v_loss[i] < h["best_valid_loss"]:
                 h["best_valid_loss"] = float(v_loss[i])
                 h["best_valid_acc"] = float(v_acc[i])
                 h["best_lambd_est"] = float(lambds[i])
+                # best-on-valid-loss snapshot (reference train.py:112-117)
+                h["best_params"] = jax.tree.map(lambda a: np.asarray(a)[i],
+                                                host_params)
+                if host_stats is not None:
+                    h["best_batch_stats"] = jax.tree.map(
+                        lambda a: np.asarray(a)[i], host_stats)
             h["records"].append({
                 "epoch": epoch,
                 "loss": float(sums[i] / max(count, 1)),

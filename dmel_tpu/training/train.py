@@ -22,7 +22,6 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Callable, Optional
 
 import jax

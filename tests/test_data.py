@@ -163,3 +163,18 @@ class TestRegistry:
     def test_unknown_dataset_raises(self):
         with pytest.raises(ValueError):
             data.get_dataset_by_config({"dataset_name": "nope"}, "/tmp")
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import time
+        from dmel_tpu.utils.profiling import StepTimer
+        timer = StepTimer(audio_seconds_per_batch=10.0, n_chips=2,
+                          skip_first=1)
+        for _ in range(3):
+            with timer.step():
+                time.sleep(0.01)
+        s = timer.summary()
+        assert s["steps"] == 2  # first excluded (compile)
+        assert s["audio_s_per_s_per_chip"] == pytest.approx(
+            10.0 / s["mean_step_s"] / 2)

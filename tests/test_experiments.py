@@ -141,3 +141,19 @@ class TestResultTable:
         df.to_csv(tmp_path / "esc50.csv", index=False)
         table = deval.produce_result_table(str(tmp_path), "esc50")
         assert "PANNs CNN6" in table and "0.80" in table
+
+
+class TestPackedSweep:
+    def test_packed_sweep_layout_and_eval(self, tmp_path):
+        from dmel_tpu import eval as deval
+        from dmel_tpu.experiments.runner import run_sweep_packed
+        sweep = run_sweep_packed("tf_packed", num_samples=1, max_epochs=2,
+                                 output_dir=str(tmp_path), data_dir="/tmp",
+                                 space=tiny_space(2))
+        assert os.path.isfile(os.path.join(sweep, "results.csv"))
+        trials = [d for d in os.listdir(sweep) if d.startswith("trial_")]
+        assert len(trials) == 4
+        # full eval pipeline works on the packed layout
+        df = deval.predict_test(sweep, "/tmp", verbose=0)
+        assert "test_accuracy" in df.columns
+        assert (df["test_accuracy"] > 0.3).all()
