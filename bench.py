@@ -179,6 +179,7 @@ def main():
     # passes at 9.4e-5; DEFAULT bf16 does NOT and stays in extras).
     candidates = {
         "pallas-f32": pal_loss(jnp.float32),
+        "pallas-bf16x3": pal_loss("bf16x3"),
         "xla-matmul": xla_loss("matmul"),
         "xla-matmul_ext": xla_loss("matmul_ext"),
         "xla-matmul_ext-HIGH": xla_loss("matmul_ext",

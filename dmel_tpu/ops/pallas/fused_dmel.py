@@ -61,8 +61,8 @@ def _on_tpu() -> bool:
         return False
 
 
-def _kernel(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
-            *, compute_dtype):
+def _kernel_core(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
+                 *, compute_dtype, dft_precision=None):
     """Fuses window-multiply + real-DFT GEMMs + |.|^2 + mel GEMM for one
     (frame-rows x freq-tile) block.  Mosaic cannot vector-load from
     unaligned lane offsets, so framing itself (a strided gather) happens
@@ -77,17 +77,42 @@ def _kernel(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
 
     @pl.when(f == 0)
     def _window():
-        fw_ref[:] = (frames_ref[:] * w_ref[0, :]).astype(compute_dtype)
+        dt = (jnp.float32 if compute_dtype == "bf16x3" else compute_dtype)
+        fw_ref[:] = (frames_ref[:] * w_ref[0, :]).astype(dt)
 
     fw = fw_ref[:]
     hi = jax.lax.Precision.HIGHEST
-    # bf16 operands use the MXU's native single pass; HIGHEST on bf16 is
-    # rejected by Mosaic (and meaningless).
-    dft_prec = hi if compute_dtype == jnp.float32 else None
-    re = jnp.dot(fw, c_ref[:].astype(compute_dtype), precision=dft_prec,
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(fw, s_ref[:].astype(compute_dtype), precision=dft_prec,
-                 preferred_element_type=jnp.float32)
+    if compute_dtype == "bf16x3":
+        # manual 3-pass split (Mosaic has no Precision.HIGH): a ~ hi+lo
+        # with hi=bf16(a); dropping the lo*lo term keeps ~1e-4 features
+        bf = jnp.bfloat16
+        fw_hi = fw.astype(bf)
+        fw_lo = (fw - fw_hi.astype(jnp.float32)).astype(bf)
+
+        def dot3(b_ref):
+            b32 = b_ref[:]
+            b_hi = b32.astype(bf)
+            b_lo = (b32 - b_hi.astype(jnp.float32)).astype(bf)
+            f32 = jnp.float32
+            return (jnp.dot(fw_hi, b_hi, preferred_element_type=f32)
+                    + jnp.dot(fw_lo, b_hi, preferred_element_type=f32)
+                    + jnp.dot(fw_hi, b_lo, preferred_element_type=f32))
+
+        re = dot3(c_ref)
+        im = dot3(s_ref)
+    else:
+        # bf16 operands use the MXU's native single pass; HIGHEST on
+        # bf16 is rejected by Mosaic (and meaningless).
+        if compute_dtype == jnp.float32:
+            dft_prec = dft_precision or hi
+        else:
+            dft_prec = None
+        re = jnp.dot(fw, c_ref[:].astype(compute_dtype),
+                     precision=dft_prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(fw, s_ref[:].astype(compute_dtype),
+                     precision=dft_prec,
+                     preferred_element_type=jnp.float32)
     p = re * re + im * im
     contrib = jnp.dot(p, fb_ref[:], precision=hi,
                       preferred_element_type=jnp.float32)
@@ -99,6 +124,25 @@ def _kernel(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
     @pl.when(f > 0)
     def _accum():
         out_ref[:] += contrib
+
+    return re, im
+
+
+def _kernel(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
+            *, compute_dtype, dft_precision=None):
+    _kernel_core(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, fw_ref,
+                 compute_dtype=compute_dtype, dft_precision=dft_precision)
+
+
+def _kernel_res(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, re_ref,
+                im_ref, fw_ref, *, compute_dtype, dft_precision=None):
+    """Variant that also streams Re/Im tiles to HBM as residuals for the
+    backward pass (saves two full recompute GEMMs there)."""
+    re, im = _kernel_core(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref,
+                          fw_ref, compute_dtype=compute_dtype,
+                          dft_precision=dft_precision)
+    re_ref[:] = re
+    im_ref[:] = im
 
 
 @functools.lru_cache(maxsize=32)
@@ -131,15 +175,37 @@ def _plan(t: int, n_fft: int, hop: int, n_mels: int):
             break
     n_f = f_pad // ft
     m_pad = _round_up(n_mels, LANE)
+    # gather-free framing (see stft.frame_signal_ext) when the per-frame
+    # slice count k is small; frames then carry k*hop >= n_fft columns
+    # and the window/basis are zero-extended to match.
+    # ext framing only when the extended width stays lane-aligned —
+    # otherwise Mosaic pads the GEMM K-dim (+12%), costing more than the
+    # gather it avoids (measured).
+    k_frames = -(-n_fft // hop)
+    use_ext = k_frames <= 32 and (k_frames * hop) % LANE == 0
+    n_ext = k_frames * hop if use_ext else n_fft
     return dict(n_bins=n_bins, nfr=nfr, tb=tb, n_tb=n_tb, nfr_pad=nfr_pad,
                 strip=strip, strip_pad=strip_pad, f_pad=f_pad, ft=ft,
-                n_f=n_f, m_pad=m_pad)
+                n_f=n_f, m_pad=m_pad, n_ext=n_ext, use_ext=use_ext)
 
 
 def _make_frames(x2, n_fft: int, hop: int, plan) -> jnp.ndarray:
-    """(B, T) -> (B * nfr_pad, n_fft) frame rows with torch.stft
-    center/constant padding; rows beyond nfr are clamped repeats
-    (sliced away after the kernel)."""
+    """(B, T) -> (B * nfr_pad, n_ext) frame rows with torch.stft
+    center/constant padding; rows beyond nfr are zeros (sliced away
+    after the kernel; zero cotangents there in the backward).
+
+    Uses the gather-free strided-reshape framing when profitable
+    (n_ext > n_fft; extra columns are zeroed out by the extended
+    window/basis), falling back to an explicit gather for dense hops."""
+    n_ext = plan["n_ext"]
+    if plan["use_ext"]:
+        from dmel_tpu.ops.stft import frame_signal_ext
+        frames, got_ext = frame_signal_ext(x2, n_fft, hop)
+        assert got_ext == n_ext
+        pad_rows = plan["nfr_pad"] - frames.shape[1]
+        if pad_rows:
+            frames = jnp.pad(frames, ((0, 0), (0, pad_rows), (0, 0)))
+        return frames.reshape((-1, n_ext))
     pad = n_fft // 2
     xp = jnp.pad(x2, ((0, 0), (pad, pad)))
     starts = jnp.minimum(jnp.arange(plan["nfr_pad"]) * hop,
@@ -150,51 +216,79 @@ def _make_frames(x2, n_fft: int, hop: int, plan) -> jnp.ndarray:
 
 
 def _forward(x2, w, fb_pad, *, n_fft: int, hop: int, plan,
-             interpret: bool, compute_dtype=jnp.float32) -> jnp.ndarray:
+             interpret: bool, compute_dtype=jnp.float32,
+             dft_precision=None, save_residuals: bool = False):
     b = x2.shape[0]
     tb, ft, m_pad = plan["tb"], plan["ft"], plan["m_pad"]
+    n_ext = plan["n_ext"]
     from dmel_tpu.ops.stft import DEVICE_BASIS_MIN_N_FFT
     if n_fft >= DEVICE_BASIS_MIN_N_FFT:
         # generate on device: embedding ~268 MB basis literals in the
         # program breaks upload/cache limits at large n_fft
         cd, sd = dft_matrices(n_fft, dtype=jnp.float32)
-        zpad = ((0, 0), (0, plan["f_pad"] - cd.shape[1]))
+        zpad = ((0, n_ext - n_fft), (0, plan["f_pad"] - cd.shape[1]))
         c = jnp.pad(cd, zpad)
         s = jnp.pad(sd, zpad)
     else:
         c_np, s_np = _padded_basis(n_fft, plan["f_pad"])
-        c = jnp.asarray(c_np)
-        s = jnp.asarray(s_np)
+        zrows = ((0, n_ext - n_fft), (0, 0))
+        c = jnp.asarray(np.pad(c_np, zrows))
+        s = jnp.asarray(np.pad(s_np, zrows))
+    w = jnp.pad(w, (0, n_ext - n_fft))
     frames = _make_frames(x2, n_fft, hop, plan)
     n_rows = frames.shape[0]
 
     grid = (n_rows // tb, plan["n_f"])
-    out = pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+    in_specs = [
+        pl.BlockSpec((tb, n_ext), lambda r_, f_: (r_, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_ext), lambda r_, f_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ext, ft), lambda r_, f_: (0, f_),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ext, ft), lambda r_, f_: (0, f_),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ft, m_pad), lambda r_, f_: (f_, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((tb, m_pad), lambda r_, f_: (r_, 0),
+                            memory_space=pltpu.VMEM)
+    ri_spec = pl.BlockSpec((tb, ft), lambda r_, f_: (r_, f_),
+                           memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, n_fft), lambda r_, f_: (r_, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_fft), lambda r_, f_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, ft), lambda r_, f_: (0, f_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, ft), lambda r_, f_: (0, f_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ft, m_pad), lambda r_, f_: (f_, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, m_pad), lambda r_, f_: (r_, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rows, m_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tb, n_fft), compute_dtype)],
+        in_specs=in_specs,
+        scratch_shapes=[pltpu.VMEM(
+            (tb, n_ext),
+            jnp.float32 if compute_dtype == "bf16x3" else compute_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_rows * n_fft * plan["f_pad"] * 2
             + 2 * n_rows * plan["f_pad"] * m_pad,
             bytes_accessed=frames.size * 4 + n_rows * m_pad * 4,
             transcendentals=0),
         interpret=interpret,
-    )(frames, w[None, :], c, s, fb_pad)
+    )
+    args = (frames, w[None, :], c, s, fb_pad)
+    if save_residuals:
+        out, re, im = pl.pallas_call(
+            functools.partial(_kernel_res, compute_dtype=compute_dtype,
+                              dft_precision=dft_precision),
+            out_specs=(out_spec, ri_spec, ri_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_rows, m_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows, plan["f_pad"]), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows, plan["f_pad"]), jnp.float32),
+            ),
+            **common,
+        )(*args)
+        return out.reshape((b, plan["nfr_pad"], m_pad)), re, im
+    out = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype,
+                          dft_precision=dft_precision),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, m_pad), jnp.float32),
+        **common,
+    )(*args)
     return out.reshape((b, plan["nfr_pad"], m_pad))
 
 
@@ -211,34 +305,64 @@ def _dmel_from_window(x2, w, fb, n_fft, hop, interpret, compute_dtype):
 
 
 def _dmel_fwd(x2, w, fb, n_fft, hop, interpret, compute_dtype):
-    return (_dmel_from_window(x2, w, fb, n_fft, hop, interpret,
-                              compute_dtype), (x2, w, fb))
+    plan = _plan(x2.shape[1], n_fft, hop, fb.shape[1])
+    fb_pad = jnp.pad(fb, ((0, plan["f_pad"] - fb.shape[0]),
+                          (0, plan["m_pad"] - fb.shape[1])))
+    out, re, im = _forward(x2, w, fb_pad, n_fft=n_fft, hop=hop, plan=plan,
+                           interpret=interpret,
+                           compute_dtype=compute_dtype,
+                           save_residuals=True)
+    primal = out[:, :plan["nfr"], :fb.shape[1]]
+    return primal, (x2, w, fb, re, im)
 
 
 def _dmel_bwd(n_fft, hop, interpret, compute_dtype, res, g):
-    """Exact adjoint chain in XLA with the same DFT basis matrices."""
-    x2, w, fb = res
-    t = x2.shape[1]
+    """Adjoint chain in XLA reusing the kernel's saved Re/Im residuals
+    (skips two full recompute GEMMs).  Precision follows the forward's
+    compute mode: HIGHEST for f32, HIGH (bf16x3) otherwise."""
+    x2, w, fb, re, im = res                     # re/im (n_rows, f_pad)
+    b, t = x2.shape
     nfr = num_frames(t, hop)
-    pad = n_fft // 2
-    xp = jnp.pad(x2, ((0, 0), (pad, pad)))
-    idx = (jnp.arange(nfr) * hop)[:, None] + jnp.arange(n_fft)[None, :]
-    frames = xp[:, idx]                         # (B, nfr, n_fft)
-    fw = frames * w
-    c, s = dft_matrices(n_fft, dtype=jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(fw, c, precision=hi)
-    im = jnp.matmul(fw, s, precision=hi)
-    dp = jnp.matmul(g, fb.T, precision=hi)      # (B, nfr, n_bins)
+    plan = _plan(t, n_fft, hop, fb.shape[1])
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.HIGH)
+
+    # pad the cotangent to the kernel's padded layout (padded rows and
+    # mel columns are zero => contribute nothing)
+    g_pad = jnp.zeros((b, plan["nfr_pad"], plan["m_pad"]), g.dtype)
+    g_pad = g_pad.at[:, :nfr, :fb.shape[1]].set(g)
+    g2 = g_pad.reshape((-1, plan["m_pad"]))     # (n_rows, m_pad)
+
+    fb_pad = jnp.pad(fb, ((0, plan["f_pad"] - fb.shape[0]),
+                          (0, plan["m_pad"] - fb.shape[1])))
+    dp = jnp.matmul(g2, fb_pad.T, precision=prec)   # (n_rows, f_pad)
     dre = 2.0 * re * dp
     dim = 2.0 * im * dp
-    dfw = (jnp.matmul(dre, c.T, precision=hi)
-           + jnp.matmul(dim, s.T, precision=hi))
-    dw = jnp.sum(frames * dfw, axis=(0, 1))
-    dxp = jnp.zeros_like(xp).at[:, idx].add(dfw * w)
+
+    n_ext = plan["n_ext"]
+    c, s = dft_matrices(n_fft, dtype=jnp.float32)
+    zc = jnp.zeros((n_fft, plan["f_pad"] - c.shape[1]), c.dtype)
+    c_pad = jnp.pad(jnp.concatenate([c, zc], axis=1),
+                    ((0, n_ext - n_fft), (0, 0)))
+    s_pad = jnp.pad(jnp.concatenate([s, zc], axis=1),
+                    ((0, n_ext - n_fft), (0, 0)))
+    dfw = (jnp.matmul(dre, c_pad.T, precision=prec)
+           + jnp.matmul(dim, s_pad.T, precision=prec))  # (n_rows, n_ext)
+
+    frames = _make_frames(x2, n_fft, hop, plan)         # (n_rows, n_ext)
+    dw = jnp.sum(frames * dfw, axis=0)[:n_fft]
+
+    # dx: overlap-scatter of the valid rows (DCE'd when x needs no grad)
+    pad = n_fft // 2
+    xp_shape = (b, t + 2 * pad)
+    idx = (jnp.arange(nfr) * hop)[:, None] + jnp.arange(n_fft)[None, :]
+    dfw_valid = dfw.reshape((b, plan["nfr_pad"], n_ext))[:, :nfr, :n_fft]
+    dxp = jnp.zeros(xp_shape, x2.dtype).at[:, idx].add(dfw_valid * w)
     dx = dxp[:, pad:pad + t]
-    dfb = jnp.einsum("bnf,bnm->fm", re * re + im * im, g,
-                     precision=hi)
+
+    p = re * re + im * im
+    dfb_pad = jnp.matmul(p.T, g2, precision=prec)       # (f_pad, m_pad)
+    dfb = dfb_pad[:fb.shape[0], :fb.shape[1]]
     return dx, dw, dfb
 
 
@@ -269,7 +393,8 @@ def dmel_power(x, lambd, *, win_length: int, n_fft: int, hop_length: int,
     w = pad_window(window, n_fft)
     fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate,
                          dtype=jnp.float32)
-    out = _dmel_from_window(x2, w, fb, n_fft, hop_length, interpret,
-                            jnp.dtype(compute_dtype))
+    cd = (compute_dtype if compute_dtype == "bf16x3"
+          else jnp.dtype(compute_dtype))
+    out = _dmel_from_window(x2, w, fb, n_fft, hop_length, interpret, cd)
     out = jnp.swapaxes(out, -1, -2)             # (B, M, nfr)
     return out.reshape(orig_shape[:-1] + out.shape[1:])

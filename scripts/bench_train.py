@@ -78,14 +78,20 @@ def main():
         out = step(params, opt_state, stats, key, xs, ys, mask)
         jax.block_until_ready(out[0])           # compile
 
-        xs = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
-        jax.block_until_ready(xs)
-        p, o, st, key = params, opt_state, stats, key
-        t0 = time.time()
-        for _ in range(args.steps):
-            p, o, st, key, m = step(p, o, st, key, xs, ys, mask)
-        loss = float(m["loss"])                  # forces completion
-        dt = (time.time() - t0) / args.steps
+        # min over repeats: the tunneled runtime occasionally stalls a
+        # dispatch for minutes, which would poison a single average
+        best, loss = float("inf"), float("nan")
+        for _ in range(3):
+            xs = jnp.asarray(rng.standard_normal((b, t)).astype(
+                np.float32))
+            jax.block_until_ready(xs)
+            p, o, st, k2 = params, opt_state, stats, key
+            t0 = time.time()
+            for _ in range(args.steps):
+                p, o, st, k2, m = step(p, o, st, k2, xs, ys, mask)
+            loss = float(m["loss"])              # forces completion
+            best = min(best, (time.time() - t0) / args.steps)
+        dt = best
         audio_s = b * t / cfg.get("resample_rate", 8000)
         print(f"{name}: {dt * 1e3:.2f} ms/step -> "
               f"{audio_s / dt:,.0f} audio-s/s (loss {loss:.3f})")
