@@ -178,14 +178,16 @@ def main():
     # against the torch.stft reference on this workload (HIGH = bf16x3
     # passes at 9.4e-5; DEFAULT bf16 does NOT and stays in extras).
     candidates = {
-        "pallas-f32": pal_loss(jnp.float32),
-        "pallas-bf16x3": pal_loss("bf16x3"),
         "xla-matmul": xla_loss("matmul"),
         "xla-matmul_ext": xla_loss("matmul_ext"),
         "xla-matmul_ext-HIGH": xla_loss("matmul_ext",
                                         jax.lax.Precision.HIGH),
     }
-    extras = {"pallas-bf16": pal_loss(jnp.bfloat16)}
+    extras = {}
+    if on_tpu:  # interpret-mode pallas at bench scale would take hours
+        candidates["pallas-f32"] = pal_loss(jnp.float32)
+        candidates["pallas-bf16x3"] = pal_loss("bf16x3")
+        extras["pallas-bf16"] = pal_loss(jnp.bfloat16)
 
     best_name, best_dt = None, float("inf")
     for name, loss in candidates.items():

@@ -60,7 +60,6 @@ def produce_data_example_plot(out_path: str, sigma_ref: float = 6.38,
 
 
 def _lineplot_by_init(ax, df, ycol, ylabel):
-    lam = df["config/init_lambd"].astype(float)
     tmask = df["config/trainable"].astype(str) == "True" \
         if df["config/trainable"].dtype != bool else df["config/trainable"]
     for trainable, sub_mask in [(True, tmask), (False, ~tmask)]:
@@ -74,7 +73,6 @@ def _lineplot_by_init(ax, df, ycol, ylabel):
     ax.set_xlabel(r"$\lambda_{init}$")
     ax.set_ylabel(ylabel)
     ax.legend()
-    del lam
 
 
 def produce_accuracy_plot(sweep_dir: str, out_path: str,
