@@ -160,3 +160,26 @@ class TestRegistry:
         assert models.n_classes_for("esc50") == 50
         with pytest.raises(ValueError):
             models.n_classes_for("nope")
+
+
+class TestEvalDropoutQuirk:
+    def test_eval_dropout_reproduces_reference_bug(self, rng):
+        """The reference's F.dropout runs at eval time in
+        MelLinearNet/MelMlpNet (models.py:76,101); eval_dropout=True
+        opts into that behavior."""
+        x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+        sane = models.MelLinearNet(n_classes=3, init_lambd=6.38, n_mels=8,
+                                   n_points=128, sample_rate=8000,
+                                   hop_length=8)
+        buggy = models.MelLinearNet(n_classes=3, init_lambd=6.38, n_mels=8,
+                                    n_points=128, sample_rate=8000,
+                                    hop_length=8, eval_dropout=True)
+        v = sane.init(jax.random.PRNGKey(0), x)
+        a1, _ = sane.apply(v, x)
+        a2, _ = sane.apply(v, x)
+        # sane eval: deterministic
+        assert float(jnp.max(jnp.abs(a1 - a2))) == 0.0
+        b1, _ = buggy.apply(v, x, rngs={"dropout": jax.random.PRNGKey(1)})
+        b2, _ = buggy.apply(v, x, rngs={"dropout": jax.random.PRNGKey(2)})
+        # bug-compatible eval: stochastic
+        assert float(jnp.max(jnp.abs(b1 - b2))) > 0.0

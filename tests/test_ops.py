@@ -190,3 +190,54 @@ class TestLambdGradient:
         eps = 1e-2
         fd = (float(loss(6.38 + eps)) - float(loss(6.38 - eps))) / (2 * eps)
         assert abs(g - fd) < 2e-2 * max(1.0, abs(fd))
+
+
+class TestDeviceBasis:
+    """On-device DFT basis generation (n_fft >= 2048) must match the
+    float64 bases, including the split-k exact-mod path at 8192."""
+
+    @pytest.mark.parametrize("n_fft", [2048, 4096, 8192])
+    def test_matches_f64(self, n_fft):
+        from dmel_tpu.ops.stft import (_dft_matrices_np,
+                                       _dft_matrices_device)
+        c64, s64 = _dft_matrices_np(n_fft)
+        c, s = _dft_matrices_device(n_fft, jnp.float32)
+        assert float(np.max(np.abs(np.asarray(c) - c64))) < 3e-6
+        assert float(np.max(np.abs(np.asarray(s) - s64))) < 3e-6
+
+
+class TestEdgeCases:
+    def test_f_min_nonzero(self, rng):
+        x = rng.standard_normal((1, 256)).astype(np.float32)
+        import torch
+        ours = ops.mel_spectrogram(jnp.asarray(x), 10.0, n_mels=16,
+                                   sample_rate=8000, hop_length=8,
+                                   f_min=50.0, f_max=3500.0)
+        theirs = ref.torch_mel_spectrogram(x, 10.0, n_mels=16,
+                                           sample_rate=8000, hop_length=8,
+                                           f_min=50.0, f_max=3500.0)
+        assert rel_err(ours, theirs) < 1e-5
+        del torch
+
+    def test_odd_signal_length(self, rng):
+        x = rng.standard_normal((2, 123)).astype(np.float32)
+        s = ops.spectrogram(jnp.asarray(x), 6.38, hop_length=3)
+        assert s.shape == (2, 124, 42)   # (T+1, T//hop + 1)
+        theirs = ref.torch_spectrogram(x[0], 6.38, hop_length=3)
+        assert rel_err(s[0], theirs) < 1e-5
+
+    def test_all_methods_agree(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+        w = ops.gaussian_window(20.0, 128)
+        base = ops.stft_power(x, w, 128, 20, method="fft")
+        for method in ("matmul", "matmul_ext", "folded", "conv"):
+            other = ops.stft_power(x, w, 128, 20, method=method)
+            assert rel_err(other, base) < 1e-5, method
+
+    def test_normalized_window_all_methods(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+        w = ops.gaussian_window(30.0, 256, norm=True)
+        base = ops.stft_power(x, w, 256, 16, method="fft")
+        for method in ("matmul", "matmul_ext", "folded"):
+            assert rel_err(ops.stft_power(x, w, 256, 16, method=method),
+                           base) < 1e-5
