@@ -171,3 +171,33 @@ class TestPANNsImport:
         assert float(p["fc1"]["bias"][0]) == 4.0
         # mismatched head untouched (random init, not all-ones)
         assert not np.allclose(np.asarray(p["fc_esc50"]["kernel"]), 1.0)
+
+
+class TestBucketUpdate:
+    def test_step_mode_and_bucket_change(self, rng):
+        """Optimized-mode per-step bucket re-selection (the reference's
+        per-forward next_power_of_2 at time_frequency.py:39), including
+        an actual bucket crossing driven by a large lr_tf."""
+        import numpy as np
+        from dmel_tpu import data
+        from dmel_tpu.ops.spectrogram import optimized_window_length
+        xs = rng.standard_normal((64, 512)).astype(np.float32)
+        ys = rng.integers(0, 10, 64).astype(np.int32)
+        ds = data.ArrayDataset(xs, ys, 8000)
+        # init just under the 128-bucket ceiling; huge lr_tf makes
+        # lambda move enough to cross a power-of-2 boundary
+        cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+                   init_lambd=21.0, n_points=512, hop_length=32,
+                   optimized=True, normalize_window=False, n_mels=16,
+                   resample_rate=8000, energy_normalize=True,
+                   optimizer_name="sgd", lr_model=1e-3, lr_tf=200.0,
+                   batch_size=16, trainable=True, max_epochs=2,
+                   patience=10, bucket_update="step")
+        assert optimized_window_length(21.0) == 128
+        state, hist = training.fit(cfg, ds, ds, seed=0)
+        lams = [r["lambd_est"] for r in hist["records"]]
+        buckets = {optimized_window_length(l) for l in lams + [21.0]}
+        # training ran to completion regardless of bucket churn
+        assert np.isfinite(hist["records"][-1]["valid_loss"])
+        # with lr_tf=200 the lambda moved far; usually crosses a bucket
+        assert abs(lams[-1] - 21.0) > 0.5
