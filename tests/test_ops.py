@@ -241,3 +241,35 @@ class TestEdgeCases:
         for method in ("matmul", "matmul_ext", "folded"):
             assert rel_err(ops.stft_power(x, w, 256, 16, method=method),
                            base) < 1e-5
+
+
+class TestRandomizedParity:
+    """Fuzz the (T, hop, win_length, mode) space against torch.stft."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_configs(self, seed):
+        r = np.random.default_rng(seed)
+        t = int(r.integers(64, 600))
+        optimized = bool(r.integers(0, 2))
+        hop = int(r.integers(1, max(2, t // 8)))
+        lambd = float(r.uniform(2.0, t / 4))
+        x = r.standard_normal(t).astype(np.float32)
+        if optimized:
+            wl = ops.optimized_window_length(lambd)
+            if wl > 2 * t:   # degenerate: window longer than padded signal
+                wl = ops.next_power_of_2(t)
+            ours = ops.spectrogram(jnp.asarray(x), lambd, optimized=True,
+                                   window_length=wl, hop_length=hop)
+            import torch
+            w = ref.torch_gaussian_window(lambd, wl)
+            s = torch.stft(torch.tensor(x), n_fft=wl, hop_length=hop,
+                           win_length=wl, window=w, return_complex=True,
+                           pad_mode="constant")
+            theirs = (torch.abs(s) ** 2).numpy()
+        else:
+            ours = ops.spectrogram(jnp.asarray(x), lambd, optimized=False,
+                                   hop_length=hop)
+            theirs = ref.torch_spectrogram(x, lambd, optimized=False,
+                                           hop_length=hop)
+        assert ours.shape == theirs.shape, (t, hop, lambd, optimized)
+        assert rel_err(ours, theirs) < 1e-5, (t, hop, lambd, optimized)
