@@ -54,6 +54,7 @@ class _MelFrontEnd(nn.Module):
     impl: str = "xla"
     n_sigma: int = 1
     precision: str = "highest"
+    method: str = "auto"
 
     @property
     def size(self) -> Tuple[int, int]:
@@ -68,14 +69,15 @@ class _MelFrontEnd(nn.Module):
                 optimized=self.optimized,
                 window_length=self.window_length,
                 normalize_window=self.normalize_window,
-                name="spectrogram_layer")
+                method=self.method, name="spectrogram_layer")
         return MelSpectrogramLayer(
             init_lambd=self.init_lambd, n_mels=self.n_mels,
             n_points=self.n_points, sample_rate=self.sample_rate,
             hop_length=self.hop_length, optimized=self.optimized,
             window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
-            precision=self.precision, name="spectrogram_layer")
+            precision=self.precision, method=self.method,
+            name="spectrogram_layer")
 
     def _features(self, x):
         s = self._spectrogram_layer()(x)

@@ -60,6 +60,7 @@ def get_model_by_config(config: dict,
         impl=config.get("impl", "xla"),
         n_sigma=int(config.get("n_sigma", 1)),
         precision=config.get("precision", "highest"),
+        method=config.get("method", "auto"),
     )
 
     if name == "linear_net":

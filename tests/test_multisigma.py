@@ -84,3 +84,51 @@ class TestMultiSigmaLayer:
         # trainable vector lambda moved (at least one component)
         assert np.abs(lam - 20.0).max() > 0
         assert len(hist["records"]) == 2
+
+
+class TestBaselineConfig5:
+    def test_multisigma_panns_dp_mesh(self, rng):
+        """BASELINE.json configs[4]: multi-sigma DMEL + PANNs CNN6 at
+        batch across a device mesh (DP) — one real train step on the
+        8-device virtual mesh."""
+        import jax
+        from dmel_tpu import parallel
+        from dmel_tpu.training.optim import build_optimizer
+        from dmel_tpu.training.train import make_train_step
+        from dmel_tpu import models
+
+        mesh = parallel.make_mesh(("data",), devices=jax.devices()[:8])
+        cfg = dict(model_name="panns_cnn6", dataset_name="esc50",
+                   init_lambd=20.0, n_points=1024, hop_length=64,
+                   optimized=True, normalize_window=False, n_mels=32,
+                   resample_rate=8000, energy_normalize=True,
+                   augment=False, n_sigma=4, optimizer_name="adam",
+                   lr_model=1e-4, lr_tf=1.0, trainable=True,
+                   # XLA:CPU's fft thunk rejects the non-major layouts
+                   # produced by vmap+GSPMD here; the MXU matmul path is
+                   # the TPU default anyway
+                   method="matmul")
+        model = models.get_model_by_config(cfg, window_length=128)
+        b = 16
+        x = jnp.asarray(rng.standard_normal((b, 1024)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 50, b).astype(np.int32))
+        m = jnp.ones(b, bool)
+        v = model.init(jax.random.PRNGKey(0), x)
+        params, stats = v["params"], v["batch_stats"]
+        assert params["spectrogram_layer"]["lambd"].shape == (4,)
+        opt = build_optimizer(cfg, params)
+        ost = opt.init(params)
+
+        params = parallel.replicate(params, mesh)
+        stats = parallel.replicate(stats, mesh)
+        ost = parallel.replicate(ost, mesh)
+        sh = parallel.batch_sharding(mesh)
+        xb, yb, mb = (jax.device_put(t, sh) for t in (x, y, m))
+
+        step = make_train_step(model, opt, one_hot=True, n_classes=50)
+        new_params, *_rest, metrics = step(params, ost, stats,
+                                           jax.random.PRNGKey(1),
+                                           xb, yb, mb)
+        assert np.isfinite(float(metrics["loss"]))
+        lam = np.asarray(new_params["spectrogram_layer"]["lambd"])
+        assert lam.shape == (4,) and not np.allclose(lam, 20.0)
