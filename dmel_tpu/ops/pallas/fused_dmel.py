@@ -49,6 +49,10 @@ LANE = 128
 #: fit VMEM with double buffering (see _plan's size-dependent tiling).
 MAX_N_FFT = 4096
 
+#: use the fully-fused backward kernel for dL/dw instead of the XLA
+#: adjoint over saved residuals (see _dmel_bwd for the measurement).
+USE_FUSED_BWD = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -143,6 +147,99 @@ def _kernel_res(frames_ref, w_ref, c_ref, s_ref, fb_ref, out_ref, re_ref,
                           dft_precision=dft_precision)
     re_ref[:] = re
     im_ref[:] = im
+
+
+def _bwd_kernel(g_ref, re_ref, im_ref, frames_ref, fbt_ref, ct_ref, st_ref,
+                dw_ref, dfw_ref, *, compute_dtype):
+    """Fused dL/dw: per (row-block, freq-tile) computes
+    dP = g @ FB^T, dRe/dIm = 2 Re/Im * dP, accumulates
+    dfw += dRe C^T + dIm S^T in VMEM, and on the last freq tile reduces
+    dw_part = sum_rows frames * dfw — no dP/dRe/dIm/dfw ever reach HBM."""
+    f = pl.program_id(1)
+    n_f = pl.num_programs(1)
+    hi = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+
+    dp = jnp.dot(g_ref[:], fbt_ref[:], precision=hi,
+                 preferred_element_type=f32)          # (tb, ft)
+    dre = 2.0 * re_ref[:] * dp
+    dim = 2.0 * im_ref[:] * dp
+
+    if compute_dtype == "bf16x3":
+        bf = jnp.bfloat16
+
+        def dot3(a, b_ref):
+            a_hi = a.astype(bf)
+            a_lo = (a - a_hi.astype(f32)).astype(bf)
+            b32 = b_ref[:]
+            b_hi = b32.astype(bf)
+            b_lo = (b32 - b_hi.astype(f32)).astype(bf)
+            return (jnp.dot(a_hi, b_hi, preferred_element_type=f32)
+                    + jnp.dot(a_lo, b_hi, preferred_element_type=f32)
+                    + jnp.dot(a_hi, b_lo, preferred_element_type=f32))
+
+        contrib = dot3(dre, ct_ref) + dot3(dim, st_ref)
+    else:
+        prec = hi if compute_dtype == jnp.float32 else None
+        cd = (f32 if compute_dtype == jnp.float32 else compute_dtype)
+        contrib = (jnp.dot(dre.astype(cd), ct_ref[:].astype(cd),
+                           precision=prec, preferred_element_type=f32)
+                   + jnp.dot(dim.astype(cd), st_ref[:].astype(cd),
+                             precision=prec, preferred_element_type=f32))
+
+    @pl.when(f == 0)
+    def _init():
+        dfw_ref[:] = contrib
+
+    @pl.when(f > 0)
+    def _accum():
+        dfw_ref[:] += contrib
+
+    @pl.when(f == n_f - 1)
+    def _reduce():
+        dw_ref[0, 0, :] = jnp.sum(frames_ref[:] * dfw_ref[:], axis=0)
+
+
+def _bwd_dw_fused(g2, re, im, frames, fb_pad, c_ext, s_ext, *, plan,
+                  interpret, compute_dtype):
+    """dL/dw via the fused backward kernel.
+
+    Args are in the kernel's padded layout: g2 (n_rows, m_pad), re/im
+    (n_rows, f_pad), frames (n_rows, n_ext), fb_pad (f_pad, m_pad),
+    c_ext/s_ext (n_ext, f_pad).  Returns dw_ext (n_ext,).
+    """
+    tb, ft, m_pad = plan["tb"], plan["ft"], plan["m_pad"]
+    n_ext = plan["n_ext"]
+    n_rows = g2.shape[0]
+    grid = (n_rows // tb, plan["n_f"])
+    dw_parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, m_pad), lambda r_, f_: (r_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, ft), lambda r_, f_: (r_, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, ft), lambda r_, f_: (r_, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_ext), lambda r_, f_: (r_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, ft), lambda r_, f_: (0, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, n_ext), lambda r_, f_: (f_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, n_ext), lambda r_, f_: (f_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_ext), lambda r_, f_: (r_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows // tb, 1, n_ext),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, n_ext), jnp.float32)],
+        interpret=interpret,
+    )(g2, re, im, frames, jnp.transpose(fb_pad),
+      jnp.transpose(c_ext), jnp.transpose(s_ext))
+    return jnp.sum(dw_parts, axis=(0, 1))
 
 
 @functools.lru_cache(maxsize=32)
@@ -346,13 +443,23 @@ def _dmel_bwd(n_fft, hop, interpret, compute_dtype, res, g):
                     ((0, n_ext - n_fft), (0, 0)))
     s_pad = jnp.pad(jnp.concatenate([s, zc], axis=1),
                     ((0, n_ext - n_fft), (0, 0)))
+    frames = _make_frames(x2, n_fft, hop, plan)         # (n_rows, n_ext)
+
     dfw = (jnp.matmul(dre, c_pad.T, precision=prec)
            + jnp.matmul(dim, s_pad.T, precision=prec))  # (n_rows, n_ext)
+    if USE_FUSED_BWD:
+        # fully-fused dw kernel: measured ~4% slower than the big-GEMM
+        # XLA adjoint at n_fft=1024 (small freq tiles lose more MXU
+        # efficiency than the saved HBM traffic buys) — kept for larger
+        # n_bins regimes and further tuning.
+        dw = _bwd_dw_fused(g2, re, im, frames, fb_pad, c_pad, s_pad,
+                           plan=plan, interpret=interpret,
+                           compute_dtype=compute_dtype)[:n_fft]
+    else:
+        dw = jnp.sum(frames * dfw, axis=0)[:n_fft]
 
-    frames = _make_frames(x2, n_fft, hop, plan)         # (n_rows, n_ext)
-    dw = jnp.sum(frames * dfw, axis=0)[:n_fft]
-
-    # dx: overlap-scatter of the valid rows (DCE'd when x needs no grad)
+    # dx: dead-code-eliminated by XLA whenever x carries no cotangent —
+    # i.e. in all training paths
     pad = n_fft // 2
     xp_shape = (b, t + 2 * pad)
     idx = (jnp.arange(nfr) * hop)[:, None] + jnp.arange(n_fft)[None, :]

@@ -133,3 +133,24 @@ class TestPallasInFit:
         state, hist = training.fit(cfg, ds, ds, seed=0)
         assert np.isfinite(hist["records"][0]["loss"])
         assert hist["est_lambd"] != 20.0
+
+
+class TestFusedBwdKernel:
+    def test_fused_dw_matches_xla_adjoint(self, rng):
+        from dmel_tpu.ops.pallas import fused_dmel as fd
+        x = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+
+        def lam_grad(lam):
+            m = ops.mel_spectrogram(x, lam, n_mels=16, sample_rate=8000,
+                                    hop_length=20, optimized=True,
+                                    window_length=128, impl="pallas")
+            return jnp.log(m + 1e-10).sum()
+
+        g_default = float(jax.grad(lam_grad)(20.0))
+        old = fd.USE_FUSED_BWD
+        fd.USE_FUSED_BWD = True
+        try:
+            g_fused = float(jax.grad(lam_grad)(20.0))
+        finally:
+            fd.USE_FUSED_BWD = old
+        assert abs(g_fused - g_default) < 1e-4 * max(1.0, abs(g_default))
