@@ -157,3 +157,38 @@ class TestPackedSweep:
         df = deval.predict_test(sweep, "/tmp", verbose=0)
         assert "test_accuracy" in df.columns
         assert (df["test_accuracy"] > 0.3).all()
+
+
+class TestPackedOptimized:
+    def test_packed_sweep_optimized_buckets(self, tmp_path, rng):
+        """Packed sweep across trials whose init_lambd implies different
+        power-of-2 window buckets (fit_trials uses the max bucket)."""
+        import numpy as np
+        from dmel_tpu import data
+        from dmel_tpu.experiments.runner import run_sweep_packed
+        import dmel_tpu.data.registry as reg
+
+        xs = rng.standard_normal((96, 512)).astype(np.float32)
+        ys = rng.integers(0, 10, 96).astype(np.int32)
+        ds = data.ArrayDataset(xs, ys, 8000)
+        tr = data.Subset(ds, np.arange(64))
+        va = data.Subset(ds, np.arange(64, 96))
+
+        orig = reg._audio_mnist_splits
+        reg._audio_mnist_splits = lambda d: (tr, va, va)
+        try:
+            space = dict(
+                model_name="mel_linear_net", dataset_name="audio_mnist",
+                n_mels=16, hop_length=32, energy_normalize=True,
+                optimized=True, normalize_window=False,
+                optimizer_name="adam", lr_model=1e-4, lr_tf=0.5,
+                batch_size=16, trainable=True, max_epochs=1, patience=10,
+                resample_rate=8000, n_points=512,
+                init_lambd=experiments.grid_search([10.0, 40.0]))
+            sweep = run_sweep_packed("packed_opt", 1, 1,
+                                     str(tmp_path), "/tmp", space=space)
+        finally:
+            reg._audio_mnist_splits = orig
+        df = runner.load_results(sweep)
+        assert len(df) == 2
+        assert np.isfinite(df["valid_loss"].astype(float)).all()
