@@ -15,11 +15,18 @@ stack (torch.stft autograd with the reference's per-sample batch loop)
 measured on this host's CPU — the only hardware the reference can run
 on here (no CUDA).  Cached in .bench_baseline.json.
 
+Self-certification (round-2): every candidate's log-mel max-abs error
+and dlambda relative error are measured IN THIS RUN against a torch
+oracle on shared inputs; only candidates passing the 1e-4 gate compete
+for the headline, and the winner's measured parity is embedded in the
+metric string.  Timings are median-of-5 with reported spread.
+
 Timing method: jitted on-device fori_loop (20 iters, lambda varies per
 iteration), warmed up, then timed on FRESH random inputs with a forced
-host read-back; the accumulated value is cross-checked against a single
-grad call to guard against runtime memoization returning stale/instant
-results (observed on tunneled backends).  All diagnostics go to stderr.
+host read-back; the accumulated value must land within [0.5, 2]x of
+ITERS x a single grad call to guard against runtime memoization
+returning stale/instant results (observed on tunneled backends).  All
+diagnostics go to stderr.
 """
 
 import json
@@ -38,6 +45,9 @@ HOP = 80
 N_MELS = 64
 LAMBD = 128.0
 ITERS = 20
+REPEATS = 5
+PARITY_B = 4         # batch for the in-bench parity check
+PARITY_GATE = 1e-4
 AUDIO_S = B * T / SR
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -49,8 +59,8 @@ def log(*args):
 
 
 def measure_jax(loss_fn, rng):
-    """Per-batch seconds for grad(loss) via an on-device loop with
-    value validation."""
+    """Median per-batch seconds for grad(loss) via an on-device loop
+    with value validation; returns (median, min, max)."""
     import jax
     import jax.numpy as jnp
 
@@ -71,21 +81,69 @@ def measure_jax(loss_fn, rng):
     x0 = fresh()
     ref = float(single(LAMBD, x0))          # compile + reference value
     float(run(x0))                          # compile loop
-    best = float("inf")
-    for _ in range(3):
+    times = []
+    for _ in range(REPEATS):
         x = fresh()
         t = time.time()
         v = float(run(x))
         dt = (time.time() - t) / ITERS
-        # validation: accumulated grad must be ~ITERS x a single grad
-        # (lambda perturbations are tiny); wildly-off => stale result
-        if not np.isfinite(v) or abs(v) < 0.01 * abs(ref) * ITERS:
-            log(f"  suspicious loop value {v} (ref {ref}); discarding")
+        # validation: lambda perturbations are 1e-6-tiny, so the
+        # accumulated grad must be ~ITERS x a single grad; anything
+        # outside a 2x relative band means a stale/memoized result.
+        expect = ref * ITERS
+        if not np.isfinite(v) or not (0.5 * abs(expect) <= abs(v)
+                                      <= 2.0 * abs(expect)):
+            log(f"  suspicious loop value {v} (expect ~{expect}); "
+                "discarding")
             continue
-        best = min(best, dt)
-    if not np.isfinite(best):
+        times.append(dt)
+    if not times:
         raise RuntimeError("no valid timing obtained")
-    return best
+    return float(np.median(times)), min(times), max(times)
+
+
+def torch_oracle(x_np: np.ndarray):
+    """Reference log-mel features + dlambda on the parity inputs,
+    computed with the reference's own stack (torch.stft, f32, per-sample
+    loop; formulas at /root/reference/time_frequency.py:21-53 +
+    models.py:38-53 — transcription in tests/reference_impl.py)."""
+    import torch
+    from tests.reference_impl import np_melscale_fbanks
+
+    fb = torch.from_numpy(np_melscale_fbanks(
+        N_FFT // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
+    lam = torch.tensor(LAMBD, requires_grad=True)
+    outs = []
+    total = None
+    for i in range(x_np.shape[0]):
+        xi = torch.from_numpy(x_np[i])
+        xi = xi - xi.mean()
+        m = torch.arange(WIN).float()
+        w = torch.exp(-0.5 * ((m - WIN / 2) /
+                              (torch.abs(lam) + 1e-15)) ** 2)
+        s = torch.stft(xi, n_fft=N_FFT, hop_length=HOP, win_length=WIN,
+                       window=w, return_complex=True, pad_mode="constant")
+        s = torch.abs(s) ** 2
+        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
+        logmel = torch.log(mel + 1e-10)
+        outs.append(logmel.detach().numpy())
+        total = logmel.sum() if total is None else total + logmel.sum()
+    total.backward()
+    return np.stack(outs), float(lam.grad)
+
+
+def check_parity(feat_fn, x_par, ref_feat, ref_grad):
+    """Measured log-mel max-abs-err and dlambda rel-err for a candidate
+    on the shared parity inputs."""
+    import jax
+    import jax.numpy as jnp
+    xj = jnp.asarray(x_par)
+    got = np.asarray(feat_fn(jnp.float32(LAMBD), xj))
+    feat_err = float(np.max(np.abs(got - ref_feat)))
+    g = float(jax.grad(lambda l, x: feat_fn(l, x).sum())(
+        jnp.float32(LAMBD), xj))
+    grad_err = abs(g - ref_grad) / max(abs(ref_grad), 1e-30)
+    return feat_err, grad_err
 
 
 def measure_torch_reference() -> float:
@@ -154,69 +212,92 @@ def main():
     log(f"backend: {backend}, devices: {jax.devices()}")
     rng = np.random.default_rng(0)
 
-    def pal_loss(dtype):
-        def loss(l, x):
+    def pal_feat(dtype):
+        def feat(l, x):
             m = fused_dmel.dmel_power(
                 x - x.mean(-1, keepdims=True), jnp.abs(l), win_length=WIN,
                 n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS, sample_rate=SR,
                 interpret=not on_tpu, compute_dtype=dtype)
-            return jnp.log(m + 1e-10).sum()
-        return loss
+            return jnp.log(m + 1e-10)
+        return feat
 
-    def xla_loss(method, precision=None):
-        import jax as _jax
-        prec = precision or _jax.lax.Precision.HIGHEST
-        def loss(l, x):
+    def xla_feat(method, precision=None, x_precision=None):
+        prec = precision or jax.lax.Precision.HIGHEST
+        def feat(l, x):
             m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
                                     hop_length=HOP, optimized=True,
                                     window_length=WIN, method=method,
-                                    precision=prec)
-            return jnp.log(m + 1e-10).sum()
-        return loss
+                                    precision=prec, x_precision=x_precision)
+            return jnp.log(m + 1e-10)
+        return feat
 
-    # Parity-grade candidates: all verified <= 1e-4 log-mel max-abs-err
-    # against the torch.stft reference on this workload (HIGH = bf16x3
-    # passes at 9.4e-5; DEFAULT bf16 does NOT and stays in extras).
+    # Candidates: parity is MEASURED below on this run's inputs; only
+    # those passing the 1e-4 log-mel gate compete for the headline.
     candidates = {
-        "xla-matmul": xla_loss("matmul"),
-        "xla-matmul_ext": xla_loss("matmul_ext"),
-        "xla-matmul_ext-HIGH": xla_loss("matmul_ext",
+        "xla-matmul_ext-HIGH": xla_feat("matmul_ext",
                                         jax.lax.Precision.HIGH),
+        # specgemm: lambda-independent spectra at bf16x3, banded window
+        # conv + mel at f32 — the derivative-window identity path.
+        "xla-specgemm": xla_feat("specgemm",
+                                 x_precision=jax.lax.Precision.HIGH),
     }
-    extras = {}
+    extras = {
+        "xla-matmul_ext-HIGHEST": xla_feat("matmul_ext"),
+        "xla-specgemm-HIGHEST": xla_feat("specgemm"),
+    }
     if on_tpu:  # interpret-mode pallas at bench scale would take hours
-        candidates["pallas-f32"] = pal_loss(jnp.float32)
-        candidates["pallas-bf16x3"] = pal_loss("bf16x3")
-        extras["pallas-bf16"] = pal_loss(jnp.bfloat16)
+        candidates["pallas-bf16x3"] = pal_feat("bf16x3")
+        extras["pallas-f32"] = pal_feat(jnp.float32)
+        extras["pallas-bf16"] = pal_feat(jnp.bfloat16)
 
-    best_name, best_dt = None, float("inf")
-    for name, loss in candidates.items():
+    # ---- in-bench parity oracle (shared inputs) ----
+    x_par = rng.standard_normal((PARITY_B, T)).astype(np.float32)
+    log("computing torch oracle for parity gate ...")
+    ref_feat, ref_grad = torch_oracle(x_par)
+
+    def to_loss(feat):
+        return lambda l, x: feat(l, x).sum()
+
+    results = {}
+    for name, feat in candidates.items():
         try:
-            dt = measure_jax(loss, rng)
+            ferr, gerr = check_parity(feat, x_par, ref_feat, ref_grad)
+            med, lo, hi = measure_jax(to_loss(feat), rng)
         except Exception as e:
             log(f"{name}: FAILED ({type(e).__name__}: {e})")
             continue
-        log(f"{name}: {dt * 1e3:.2f} ms/batch -> "
-            f"{AUDIO_S / dt:,.0f} audio-s/s")
-        if dt < best_dt:
-            best_name, best_dt = name, dt
-    for name, loss in extras.items():
+        ok = ferr <= PARITY_GATE
+        log(f"{name}: {med * 1e3:.2f} ms/batch "
+            f"[{lo * 1e3:.2f}-{hi * 1e3:.2f}] -> "
+            f"{AUDIO_S / med:,.0f} audio-s/s | logmel_err={ferr:.2e} "
+            f"dlambda_rel={gerr:.2e} {'PASS' if ok else 'FAIL>1e-4'}")
+        if ok:
+            results[name] = (med, ferr, gerr)
+    for name, feat in extras.items():
         try:
-            dt = measure_jax(loss, rng)
-            log(f"{name} (non-parity extra): {dt * 1e3:.2f} ms/batch -> "
-                f"{AUDIO_S / dt:,.0f} audio-s/s")
+            ferr, gerr = check_parity(feat, x_par, ref_feat, ref_grad)
+            med, lo, hi = measure_jax(to_loss(feat), rng)
+            log(f"{name} (extra): {med * 1e3:.2f} ms/batch -> "
+                f"{AUDIO_S / med:,.0f} audio-s/s | logmel_err={ferr:.2e} "
+                f"dlambda_rel={gerr:.2e}")
         except Exception as e:
             log(f"{name}: FAILED ({type(e).__name__}: {e})")
 
+    if not results:
+        raise RuntimeError("no candidate passed the parity gate")
+    best_name = min(results, key=lambda k: results[k][0])
+    best_dt, best_ferr, best_gerr = results[best_name]
+
     value = AUDIO_S / best_dt
     torch_cpu = get_torch_baseline()
-    log(f"best f32-parity impl: {best_name}; torch-CPU reference: "
+    log(f"best parity-passing impl: {best_name}; torch-CPU reference: "
         f"{torch_cpu:,.1f} audio-s/s")
 
     print(json.dumps({
         "metric": "DMEL fwd+bwd audio-seconds/s/chip (n_fft=1024, hop=80, "
-                  f"64 mels, batch {B}x5s@8kHz, parity<=1e-4) "
-                  f"[{best_name}]",
+                  f"64 mels, batch {B}x5s@8kHz; measured logmel_err="
+                  f"{best_ferr:.1e}, dlambda_rel={best_gerr:.1e}) "
+                  f"[{best_name}, median of {REPEATS}]",
         "value": round(value, 1),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(value / torch_cpu, 2),

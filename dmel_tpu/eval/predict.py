@@ -48,7 +48,11 @@ def _coerce(config: dict) -> dict:
 
 def predictions_by_row(row: dict, testloader) -> tuple:
     """Rebuild model + restore best checkpoint for one results row and
-    predict (utils.py:263-286)."""
+    predict (utils.py:263-286).
+
+    Single-label datasets return ``(labels, argmax_preds)``; multi-label
+    datasets (2-D ys, FSD-style) return ``(multi_hot_labels, scores)``
+    so the caller can compute mAP (the PANNs headline metric)."""
     config = _coerce(get_config_by_row(row))
     ckpt_path = os.path.join(row["logdir"], "checkpoint_000000",
                              "best_model")
@@ -68,12 +72,16 @@ def predictions_by_row(row: dict, testloader) -> tuple:
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         logits, _ = model.apply(variables, xs, train=False)
-        return jax.numpy.argmax(logits, axis=-1)
+        return logits
 
     preds, labels = [], []
     for xs, ys, mask in testloader:
-        p = np.asarray(forward(params, batch_stats, jax.numpy.asarray(xs)))
-        preds.append(p[mask])
+        scores = np.asarray(forward(params, batch_stats,
+                                    jax.numpy.asarray(xs)))
+        if ys.ndim == 2:                      # multi-label: keep scores
+            preds.append(scores[mask])
+        else:                                 # single-label: argmax
+            preds.append(np.argmax(scores, axis=-1)[mask])
         labels.append(ys[mask])
     return np.concatenate(labels), np.concatenate(preds)
 
@@ -91,19 +99,33 @@ def predict_test(sweep_dir: str, data_dir: str, batch_size: int = 32,
     _, _, testset = get_dataset_by_config(config0, data_dir)
     testloader = BatchLoader(testset, batch_size, shuffle=False)
 
-    accs, predss, labelss = [], [], []
+    accs, maps, predss, labelss = [], [], [], []
+    multilabel = False
     for _, row in df.iterrows():
         labels, preds = predictions_by_row(row.to_dict(), testloader)
-        acc = float(np.mean(labels == preds))
+        if labels.ndim == 2:
+            # multi-label: headline metric is mAP (PANNs convention,
+            # /root/reference/utils.py:17); "accuracy" = top-1 precision
+            from dmel_tpu.eval.metrics import (mean_average_precision,
+                                               top1_precision)
+            multilabel = True
+            acc = top1_precision(labels, preds)
+            m_ap = mean_average_precision(labels, preds)
+            maps.append(m_ap)
+        else:
+            acc = float(np.mean(labels == preds))
         accs.append(acc)
         predss.append(preds)
         labelss.append(labels)
         if verbose:
+            extra = f" test_mAP={maps[-1]:.4f}" if multilabel else ""
             print(f"{os.path.basename(str(row['logdir']))}: "
-                  f"test_accuracy={acc:.4f}")
+                  f"test_accuracy={acc:.4f}{extra}")
 
     df = df.copy()
     df["test_accuracy"] = accs
+    if multilabel:
+        df["test_mAP"] = maps
     df.to_csv(os.path.join(sweep_dir, f"{dataset_name}.csv"), index=False)
     np.save(os.path.join(sweep_dir, f"{dataset_name}_predictionss.npy"),
             np.asarray(predss))

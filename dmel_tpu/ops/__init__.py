@@ -16,6 +16,8 @@ from dmel_tpu.ops.stft import (  # noqa: F401
     stft_power,
     stft_power_folded,
     stft_power_conv,
+    stft_power_specgemm,
+    specgemm_ok,
     dft_matrices,
     num_frames,
 )

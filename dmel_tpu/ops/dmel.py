@@ -28,7 +28,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                     normalize_window: bool = False,
                     subtract_mean: bool = True, abs_lambd: bool = True,
                     method: str = "auto", impl: str = "xla",
-                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                    precision=jax.lax.Precision.HIGHEST,
+                    x_precision=None) -> jnp.ndarray:
     """Batched differentiable mel power spectrogram.
 
     Args:
@@ -81,7 +82,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
 
     s = spectrogram(x, lambd, optimized=optimized, hop_length=hop_length,
                     norm=normalize_window, window_length=window_length,
-                    method=method, precision=precision)
+                    method=method, precision=precision,
+                    x_precision=x_precision)
     n_freqs = s.shape[-2]
     fb = melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate,
                          dtype=s.dtype)

@@ -48,7 +48,7 @@ def spectrogram(x: jnp.ndarray, lambd, *, optimized: bool = False,
                 hop_length: int = 1, norm: bool = False,
                 window_length: int | None = None,
                 return_window: bool = False, method: str = "auto",
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST, x_precision=None):
     """Gaussian-windowed power spectrogram, batched over leading axes.
 
     Args:
@@ -83,7 +83,7 @@ def spectrogram(x: jnp.ndarray, lambd, *, optimized: bool = False,
 
     window = gaussian_window(lambd, win_length, norm=norm, dtype=x.dtype)
     s = stft_power(x, window, n_fft, hop_length, method=method,
-                   precision=precision)
+                   precision=precision, x_precision=x_precision)
     if return_window:
         return s, window
     return s

@@ -232,9 +232,216 @@ def stft_power_conv(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
     return p.reshape(batch_shape + p.shape[1:])
 
 
+@functools.lru_cache(maxsize=32)
+def _dft_matrices_ext_np(n_fft: int, j_taps: int):
+    """Extended-bin real-DFT bases for bins ``-J .. n_fft//2 + J``.
+
+    Same float64 construction as :func:`_dft_matrices_np`; the extra
+    columns let a frequency-domain window convolution read neighbours of
+    every one-sided bin without modular gathers (DFT bins are N-periodic
+    so bin ``-j`` *is* bin ``N-j``).
+    """
+    import numpy as np
+    m = np.arange(n_fft)[:, None]
+    k = np.arange(-j_taps, n_fft // 2 + 1 + j_taps)[None, :]
+    ang = -2.0 * np.pi * m * k / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+@functools.lru_cache(maxsize=32)
+def _tap_basis_np(n_fft: int, j_taps: int):
+    """Window-spectrum tap basis: ``(n_fft, J+1)`` cos/sin matrices.
+
+    ``What[d] = sum_m w[m] e^{-2 pi i m d / n_fft}`` for d = 0..J; the
+    negative taps follow from conjugate symmetry of a real window.
+    """
+    import numpy as np
+    m = np.arange(n_fft)[:, None]
+    d = np.arange(j_taps + 1)[None, :]
+    ang = -2.0 * np.pi * m * d / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+#: default half-support (in bins) of the truncated window spectrum used
+#: by the specgemm path.  Measured (scripts/study_specgemm.py): at the
+#: dispatch limit ``win = 8*lambda`` the J=24 truncation contributes
+#: <= 1e-5 log-mel error on white noise (<= 1e-4 on adversarial tonal
+#: signals); block granularity on the MXU makes larger J nearly free in
+#: the XLA formulation, so accuracy is cheap here.
+SPECGEMM_J_TAPS = 24
+
+#: output bins are produced in blocks of this many columns (one MXU lane
+#: tile) by the banded GEMM.
+_SPECGEMM_BLOCK = 128
+
+
+def specgemm_ok(lambd_value: float, window_length: int, n_fft: int,
+                hop_length: int = 1) -> bool:
+    """Static dispatch guard for the specgemm path.
+
+    The J-truncated window spectrum is parity-exact (<=1e-5 class
+    truncation error) only while the Gaussian's endpoint value
+    ``exp(-0.5*(win/(2 lambd))^2)`` stays at or below the ``win = 8
+    lambda`` level (scripts/study_specgemm.py); above that the truncated
+    window's Dirichlet sidelobes leak.  ``lambd`` is traced inside jit,
+    so the caller decides *outside* jit — the same mechanism as the
+    power-of-2 window bucket (spectrogram.py) — and recompiles when the
+    boundary is crossed.
+    """
+    if window_length != n_fft or n_fft >= DEVICE_BASIS_MIN_N_FFT:
+        return False  # padded-window / long-FFT cases keep other paths
+    return 8.0 * abs(float(lambd_value)) <= window_length
+
+
+def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,
+                 precision=jax.lax.Precision.HIGHEST):
+    """Truncated spectrum of the (padded) window: ``(WR, WI)`` for taps
+    d = -J..J, stored as full-length vectors indexed by ``d + J``.
+
+    Differentiable in the window — this is the *only* place the
+    trainable ``lambd`` enters the specgemm path, so the whole adjoint
+    chain of DMEL collapses onto these 2J+1 numbers (the
+    derivative-window gradient identity, PERF.md round-1 notes).
+    """
+    w = pad_window(window, n_fft)
+    cb, sb = _tap_basis_np(n_fft, j_taps)
+    cb = jnp.asarray(cb, w.dtype)
+    sb = jnp.asarray(sb, w.dtype)
+    wr_pos = jnp.matmul(w[None, :], cb, precision=precision)[0]  # (J+1,)
+    wi_pos = jnp.matmul(w[None, :], sb, precision=precision)[0]
+    # real window: What[-d] = conj(What[d])
+    wr = jnp.concatenate([wr_pos[:0:-1], wr_pos])            # (2J+1,)
+    wi = jnp.concatenate([-wi_pos[:0:-1], wi_pos])
+    return wr / n_fft, wi / n_fft
+
+
+def _band_matrices(wr: jnp.ndarray, wi: jnp.ndarray, j_taps: int,
+                   block: int):
+    """Build the banded Toeplitz block ``T[u, v] = What[v - u + J]/N``
+    of shape ``(block + 2J, block)`` from the 2J+1 taps.
+
+    Identical for every output block, so one small pair of matrices
+    serves the whole spectrum.  Differentiable (gather of a tiny
+    vector).
+    """
+    u = jnp.arange(block + 2 * j_taps)[:, None]
+    v = jnp.arange(block)[None, :]
+    idx = v - u + 2 * j_taps
+    valid = (idx >= 0) & (idx <= 2 * j_taps)
+    idx = jnp.clip(idx, 0, 2 * j_taps)
+    tr = jnp.where(valid, wr[idx], 0.0)
+    ti = jnp.where(valid, wi[idx], 0.0)
+    return tr, ti
+
+
+def stft_power_specgemm(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
+                        hop_length: int, *, j_taps: int = SPECGEMM_J_TAPS,
+                        x_impl: str = "conv",
+                        precision=jax.lax.Precision.HIGHEST,
+                        x_precision=None) -> jnp.ndarray:
+    """Power spectrogram via frequency-domain window application.
+
+    ``S = DFT(frame * w) = (1/N) X (*) What`` where ``X = DFT(frame)``
+    is *independent of the window parameter* and ``What`` (the window
+    spectrum) is truncated to ``|d| <= J`` taps — valid while the
+    window's endpoint value is small (see :func:`specgemm_ok`).
+
+    Why this wins on TPU: the two big MXU GEMMs that compute ``X``
+    carry no ``lambd`` dependence, so JAX's selective autodiff never
+    builds their adjoints — the entire fwd+bwd chain in ``lambd`` runs
+    through the 2J+1 taps and a banded (block + 2J, block) GEMM that is
+    ~20x smaller than the full DFT.  This is the derivative-window
+    gradient identity of SURVEY.md §3.3 in concrete form: the backward
+    pass costs one small banded-GEMM adjoint instead of two full DFT
+    GEMMs.  Differentiating w.r.t. ``x`` still works (JAX builds the
+    X-adjoint only when that cotangent is requested).
+
+    Args:
+      x: ``(..., T)`` signals.
+      window: ``(win_length,)`` analysis window; for this path
+        ``win_length == n_fft`` is required (optimized-mode convention).
+      j_taps: half-support of the truncated window spectrum.
+      x_impl: how to compute the unwindowed spectra — "conv" (strided
+        conv1d straight from the signal: no frame materialization, and
+        since X needs no adjoint the conv filter-gradient never runs) or
+        "gemm" (gather-free ext framing + DFT GEMM).
+      precision: banded/mel-side matmul precision.
+      x_precision: precision for the big X GEMMs (defaults to
+        ``precision``); bf16x3 (``Precision.HIGH``) measured parity-safe.
+
+    Returns:
+      ``(..., n_fft//2 + 1, num_frames)`` — same layout as
+      :func:`stft_power`.
+    """
+    if window.shape[-1] != n_fft:
+        raise ValueError("specgemm requires win_length == n_fft")
+    if x_precision is None:
+        x_precision = precision
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    n_bins = n_fft // 2 + 1
+    nfr = num_frames(t, hop_length)
+    n_ext_bins = n_bins + 2 * j_taps
+
+    cb, sb = _dft_matrices_ext_np(n_fft, j_taps)
+    dtype = x.dtype
+
+    if x_impl == "conv":
+        # one pass over the signal; filters are constants (no grad path)
+        filt = jnp.asarray(
+            jnp.concatenate([jnp.asarray(cb), jnp.asarray(sb)], axis=1),
+            dtype)                                   # (n_fft, 2*n_ext_bins)
+        pad = n_fft // 2
+        x3 = x.reshape((-1, 1, t))
+        y = jax.lax.conv_general_dilated(
+            x3, jnp.transpose(filt)[:, None, :],
+            window_strides=(hop_length,), padding=[(pad, pad)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=x_precision)                   # (B, 2*ext, nfr)
+        xr = jnp.swapaxes(y[:, :n_ext_bins, :], -1, -2)
+        xi = jnp.swapaxes(y[:, n_ext_bins:, :], -1, -2)   # (B, nfr, ext)
+    elif x_impl == "gemm":
+        frames_ext, n_ext = frame_signal_ext(x, n_fft, hop_length)
+        frames_ext = frames_ext.reshape((-1, nfr, n_ext))
+        zpad = ((0, n_ext - n_fft), (0, 0))
+        c_ext = jnp.asarray(jnp.pad(cb, zpad), dtype)
+        s_ext = jnp.asarray(jnp.pad(sb, zpad), dtype)
+        xr = jnp.matmul(frames_ext, c_ext, precision=x_precision)
+        xi = jnp.matmul(frames_ext, s_ext, precision=x_precision)
+    else:
+        raise ValueError(f"unknown x_impl: {x_impl!r}")
+
+    # banded frequency-domain convolution with the window spectrum
+    wr, wi = _window_taps(window, n_fft, j_taps, precision=precision)
+    block = _SPECGEMM_BLOCK
+    n_blocks = -(-n_bins // block)
+    k_pad = n_blocks * block
+    # X_ext column u of block b holds bin (b*block + u - J); pad so the
+    # last block's halo exists (padded bins multiply zero-padded fb
+    # rows downstream, and we slice back to n_bins at the end).
+    need = k_pad + 2 * j_taps
+    xr = jnp.pad(xr, ((0, 0), (0, 0), (0, need - n_ext_bins)))
+    xi = jnp.pad(xi, ((0, 0), (0, 0), (0, need - n_ext_bins)))
+    width = block + 2 * j_taps
+    xr_b = jnp.stack([xr[..., b * block:b * block + width]
+                      for b in range(n_blocks)], axis=-2)
+    xi_b = jnp.stack([xi[..., b * block:b * block + width]
+                      for b in range(n_blocks)], axis=-2)
+    tr, ti = _band_matrices(wr, wi, j_taps, block)
+    s_re = (jnp.matmul(xr_b, tr, precision=precision)
+            - jnp.matmul(xi_b, ti, precision=precision))
+    s_im = (jnp.matmul(xr_b, ti, precision=precision)
+            + jnp.matmul(xi_b, tr, precision=precision))
+    p = s_re * s_re + s_im * s_im                    # (B, nfr, nb, block)
+    p = p.reshape((-1, nfr, k_pad))[..., :n_bins]
+    p = p.reshape(batch_shape + (nfr, n_bins))
+    return jnp.swapaxes(p, -1, -2)
+
+
 def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
                hop_length: int, *, method: str = "auto",
-               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+               precision=jax.lax.Precision.HIGHEST,
+               x_precision=None) -> jnp.ndarray:
     """Power spectrogram ``|STFT(x)|^2`` with torch.stft conventions.
 
     Args:
@@ -250,9 +457,16 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
         - "matmul": DFT-as-GEMM on the MXU (explicit frames);
         - "matmul_ext": DFT-as-GEMM with gather-free framing;
         - "folded": half-size GEMMs via DFT symmetry;
-        - "conv": strided conv1d formulation.
+        - "conv": strided conv1d formulation;
+        - "specgemm": frequency-domain window application over
+          lambda-independent spectra (fastest fwd+bwd; requires
+          ``win_length == n_fft`` and small window endpoint values —
+          gate with :func:`specgemm_ok` outside jit).
         All methods are numerically equivalent to float32 rounding.
       precision: matmul precision for the matmul paths.
+      x_precision: specgemm only — precision for the lambda-independent
+        spectra GEMMs (defaults to ``precision``; ``Precision.HIGH``
+        measured parity-safe and ~2x faster than HIGHEST on TPU).
 
     Returns:
       ``(..., n_fft//2 + 1, num_frames)`` power spectrogram — freq-major,
@@ -269,6 +483,10 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
             method = "matmul_ext"
         else:
             method = "matmul"
+    if method == "specgemm":
+        return stft_power_specgemm(x, window, n_fft, hop_length,
+                                   precision=precision,
+                                   x_precision=x_precision)
     if method == "folded":
         return stft_power_folded(x, window, n_fft, hop_length,
                                  precision=precision)

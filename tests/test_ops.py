@@ -243,6 +243,75 @@ class TestEdgeCases:
                            base) < 1e-5
 
 
+class TestSpecGemm:
+    """Frequency-domain (banded) STFT — the derivative-window gradient
+    identity path (stft.py:stft_power_specgemm).  Exactness contract:
+    within its dispatch window (win == n_fft, 8|lambd| <= win) the
+    J-truncated window spectrum must keep log-mel parity <= 1e-4 and
+    lambda-gradient parity with the exact GEMM path."""
+
+    @pytest.mark.parametrize("x_impl", ["conv", "gemm"])
+    def test_matches_torch_optimized_mode(self, rng, x_impl):
+        from dmel_tpu.ops.stft import stft_power_specgemm
+        x = rng.standard_normal(4000).astype(np.float32)
+        lambd, wl, hop = 64.0, 512, 40       # wl = 8*lambd: dispatch edge
+        w = ops.gaussian_window(lambd, wl)
+        ours = stft_power_specgemm(jnp.asarray(x), w, wl, hop,
+                                   x_impl=x_impl)
+        theirs = ref.torch_spectrogram(x, lambd, optimized=True,
+                                       hop_length=hop)
+        assert ours.shape == theirs.shape
+        assert rel_err(ours, theirs) < 1e-5
+
+    def test_log_mel_gate(self, rng):
+        xb = rng.standard_normal((2, 4000)).astype(np.float32)
+        lambd, wl = 64.0, 512
+        ours = ops.mel_spectrogram(jnp.asarray(xb), lambd, n_mels=64,
+                                   sample_rate=8000, hop_length=40,
+                                   optimized=True, window_length=wl,
+                                   method="specgemm")
+        theirs = ref.torch_mel_spectrogram(xb, lambd, n_mels=64,
+                                           sample_rate=8000, hop_length=40,
+                                           optimized=True)
+        assert max_abs_err(np.log(np.asarray(ours) + 1e-10),
+                           np.log(theirs + 1e-10)) < 1e-4
+
+    def test_grad_matches_exact_path(self, rng):
+        xb = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+
+        def loss(lam, method):
+            return ops.log_mel_spectrogram(
+                xb, lam, n_mels=64, sample_rate=8000, hop_length=40,
+                optimized=True, window_length=512, method=method).sum()
+
+        for lam in [40.0, 64.0]:
+            g_spec = float(jax.grad(loss)(lam, "specgemm"))
+            g_ref = float(jax.grad(loss)(lam, "matmul"))
+            assert abs(g_spec - g_ref) < 1e-4 * max(1.0, abs(g_ref)), lam
+
+    def test_normalized_window(self, rng):
+        from dmel_tpu.ops.stft import stft_power_specgemm
+        x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        w = ops.gaussian_window(30.0, 256, norm=True)
+        base = ops.stft_power(x, w, 256, 16, method="fft")
+        assert rel_err(stft_power_specgemm(x, w, 256, 16), base) < 1e-5
+
+    def test_dispatch_guard(self):
+        from dmel_tpu.ops.stft import specgemm_ok
+        assert specgemm_ok(64.0, 512, 512)           # 8*lambda == win
+        assert specgemm_ok(-64.0, 512, 512)          # |lambda|
+        assert not specgemm_ok(65.0, 512, 512)       # above the boundary
+        assert not specgemm_ok(10.0, 128, 256)       # win != n_fft
+        assert not specgemm_ok(200.0, 2048, 2048)    # long-FFT regime
+
+    def test_win_mismatch_raises(self, rng):
+        from dmel_tpu.ops.stft import stft_power_specgemm
+        x = jnp.asarray(rng.standard_normal(500).astype(np.float32))
+        w = ops.gaussian_window(10.0, 128)
+        with pytest.raises(ValueError):
+            stft_power_specgemm(x, w, 256, 10)
+
+
 class TestRandomizedParity:
     """Fuzz the (T, hop, win_length, mode) space against torch.stft."""
 
