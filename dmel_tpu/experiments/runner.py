@@ -92,7 +92,9 @@ def run_sweep_packed(name: str, num_samples: int, max_epochs: int,
     (dmel_tpu.parallel.fit_trials) — the TPU-idiomatic replacement for
     Ray's 4-trials-per-GPU packing.  All trials share static structure
     (guaranteed for the published spaces: only init_lambd/trainable
-    vary); per-trial early stopping is traded for fixed epochs.
+    vary); each trial early-stops independently via a per-trial active
+    mask (updates and BN stats freeze once its patience expires), and
+    the pack exits when every trial has converged.
 
     Writes the same sweep layout as :func:`run_sweep` (config.json /
     progress.csv / checkpoint / results.csv per trial), so the entire

@@ -48,7 +48,8 @@ def make_multitrial_step(model, base_opt, one_hot: bool, n_classes: int):
     pytree matching params with per-trial scalar LRs (0 freezes a leaf).
     """
 
-    def one_trial(params, opt_state, batch_stats, lrs, rng, xs, ys, mask):
+    def one_trial(params, opt_state, batch_stats, lrs, active, rng, xs, ys,
+                  mask):
         rng, sub = jax.random.split(rng)
         grad_fn = jax.value_and_grad(
             lambda p: _loss_and_metrics(model, p, batch_stats, xs, ys, mask,
@@ -56,12 +57,19 @@ def make_multitrial_step(model, base_opt, one_hot: bool, n_classes: int):
             has_aux=True)
         (loss, (new_stats, acc, energy)), grads = grad_fn(params)
         updates, opt_state = base_opt.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u, lr: u * lr, updates, lrs)
+        updates = jax.tree.map(lambda u, lr: u * lr * active, updates, lrs)
         params = optax.apply_updates(params, updates)
+        if new_stats is not None:
+            # a patience-expired trial is fully frozen: its BN statistics
+            # must not drift either (the reference *breaks* its loop,
+            # /root/reference/train.py:112-126)
+            new_stats = jax.tree.map(
+                lambda new, old: jnp.where(active > 0, new, old),
+                new_stats, batch_stats)
         return (params, opt_state, new_stats, rng,
                 {"loss": loss, "acc": acc, "energy": energy})
 
-    return jax.jit(jax.vmap(one_trial))
+    return jax.jit(jax.vmap(one_trial, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)))
 
 
 def make_multitrial_eval(model, one_hot: bool, n_classes: int):
@@ -153,12 +161,23 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
     validloader = BatchLoader(validset, batch_size, shuffle=False)
 
     histories = [{"records": [], "best_valid_loss": np.inf,
-                  "best_valid_acc": 0.0,
+                  "best_valid_acc": 0.0, "converged": False,
                   "init_lambd": float(c["init_lambd"]),
                   "best_lambd_est": float(c["init_lambd"])}
                  for c in configs]
 
+    # per-trial early stopping (reference train.py:112-126 per trial):
+    # a trial whose patience expires gets a zero active mask — its
+    # updates AND batch stats freeze while the rest of the pack trains on
+    patiences = np.asarray([int(c.get("patience", max_epochs))
+                            for c in configs])
+    patience_counts = np.zeros(k, dtype=int)
+    active_np = np.ones(k, dtype=np.float32)
+
     for epoch in range(max_epochs):
+        active = jnp.asarray(active_np)
+        if mesh is not None:
+            active = jax.device_put(active, trial_sh)
         sums = np.zeros(k)
         count = 0
         for batches in zip(*loaders):
@@ -169,7 +188,8 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
                 sh = NamedSharding(mesh, P(mesh.axis_names[0]))
                 xs, ys, mask = (jax.device_put(t, sh) for t in (xs, ys, mask))
             params, opt_state, batch_stats, rngs, m = step(
-                params, opt_state, batch_stats, lrs, rngs, xs, ys, mask)
+                params, opt_state, batch_stats, lrs, active, rngs, xs, ys,
+                mask)
             sums += np.asarray(m["loss"])
             count += 1
 
@@ -190,32 +210,39 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
         lambds = np.asarray(params["spectrogram_layer"]["lambd"])
         if lambds.ndim > 1:
             lambds = lambds.mean(axis=tuple(range(1, lambds.ndim)))
-        improved = [i for i, h in enumerate(histories)
-                    if v_loss[i] < h["best_valid_loss"]]
-        if improved:
-            host_params = jax.device_get(params)
-            host_stats = (jax.device_get(batch_stats)
-                          if batch_stats is not None else None)
+        was_active = active_np.copy()
         for i, h in enumerate(histories):
-            if v_loss[i] < h["best_valid_loss"]:
+            if active_np[i] and v_loss[i] < h["best_valid_loss"]:
                 h["best_valid_loss"] = float(v_loss[i])
                 h["best_valid_acc"] = float(v_acc[i])
                 h["best_lambd_est"] = float(lambds[i])
                 # best-on-valid-loss snapshot (reference train.py:112-117)
-                h["best_params"] = jax.tree.map(lambda a: np.asarray(a)[i],
-                                                host_params)
-                if host_stats is not None:
-                    h["best_batch_stats"] = jax.tree.map(
-                        lambda a: np.asarray(a)[i], host_stats)
-            h["records"].append({
-                "epoch": epoch,
-                "loss": float(sums[i] / max(count, 1)),
-                "valid_loss": float(v_loss[i]),
-                "valid_acc": float(v_acc[i]),
-                "lambd_est": float(lambds[i]),
-            })
+                # — fetch ONLY this trial's slice (device-side index,
+                # then a single-trial transfer), not the full K-stack
+                h["best_params"] = jax.device_get(
+                    jax.tree.map(lambda a: a[i], params))
+                if batch_stats is not None:
+                    h["best_batch_stats"] = jax.device_get(
+                        jax.tree.map(lambda a: a[i], batch_stats))
+                patience_counts[i] = 0
+            elif active_np[i]:
+                patience_counts[i] += 1
+                if patience_counts[i] >= patiences[i]:
+                    active_np[i] = 0.0
+                    h["converged"] = True
+            if was_active[i]:
+                h["records"].append({
+                    "epoch": epoch,
+                    "loss": float(sums[i] / max(count, 1)),
+                    "valid_loss": float(v_loss[i]),
+                    "valid_acc": float(v_acc[i]),
+                    "lambd_est": float(lambds[i]),
+                })
         if verbose:
-            print(f"epoch {epoch}: valid_acc={v_acc}, lambd={lambds}")
+            print(f"epoch {epoch}: valid_acc={v_acc}, lambd={lambds}, "
+                  f"active={active_np}")
+        if not active_np.any():
+            break
 
     state = {"params": params, "opt_state": opt_state,
              "batch_stats": batch_stats}

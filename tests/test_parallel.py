@@ -86,6 +86,32 @@ class TestMultiTrial:
         for h in hists:
             assert len(h["records"]) == 2
 
+    def test_fit_trials_per_trial_early_stopping(self):
+        """A trial whose patience expires freezes (params stop moving,
+        records stop) while the rest of the pack keeps training
+        (VERDICT r1 #5; reference per-trial patience train.py:112-126)."""
+        # trial 0: patience 1 with a huge destabilizing lr -> valid loss
+        # climbs immediately and it early-stops; trial 1: patience large
+        configs = [small_cfg(init_lambd=10.0, patience=1, lr_model=50.0,
+                             max_epochs=6),
+                   small_cfg(init_lambd=10.0, patience=100, max_epochs=6)]
+        tr = toy_dataset(48)
+        va = toy_dataset(16, seed=1)
+        state, hists = parallel.fit_trials(configs, tr, va)
+        assert hists[0]["converged"]
+        assert not hists[1]["converged"]
+        # frozen trial stops accumulating records before max_epochs ...
+        assert len(hists[0]["records"]) < 6
+        assert len(hists[1]["records"]) == 6
+        # ... and its lambda stays put after the freeze epoch
+        freeze_epoch = hists[0]["records"][-1]["epoch"]
+        assert freeze_epoch < 5
+        lam_frozen = hists[0]["records"][-1]["lambd_est"]
+        final = np.asarray(state["params"]["spectrogram_layer"]["lambd"])
+        assert float(final[0]) == pytest.approx(lam_frozen, abs=1e-6)
+        # the surviving trial kept moving
+        assert float(final[1]) != pytest.approx(10.0)
+
     def test_fit_trials_sharded_matches_unsharded(self, mesh8):
         configs = [small_cfg(init_lambd=5.0 + i, max_epochs=1)
                    for i in range(8)]
