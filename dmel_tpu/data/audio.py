@@ -41,15 +41,44 @@ def load_wav(path: str):
     return x, sr
 
 
-def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (the TPU rebuild's stand-in for librosa's
-    kaiser_fast resampler at datasets.py:255)."""
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _kaiser_fast_fir(up: int, down: int):
+    """FIR matching librosa/resampy's ``kaiser_fast`` design family
+    (num_zeros=16, Kaiser beta=8.555504, rolloff=0.85) for a polyphase
+    up/down stage — the filter the reference's ESC-50 resample uses
+    (datasets.py:255 ``res_type='kaiser_fast'``)."""
+    from scipy.signal import firwin
+    num_zeros, beta, rolloff = 16, 8.555504, 0.85
+    max_rate = max(up, down)
+    half_len = num_zeros * max_rate
+    return firwin(2 * half_len + 1, rolloff / max_rate,
+                  window=("kaiser", beta))
+
+
+def resample(x: np.ndarray, sr: int, target_sr: int,
+             quality: str = "kaiser_fast") -> np.ndarray:
+    """Polyphase resampling.
+
+    ``quality='kaiser_fast'`` (default) uses the same windowed-sinc
+    design family as librosa's ``res_type='kaiser_fast'`` so cached ESC-50
+    arrays stay close to reference preprocessing; ``'polyphase'`` uses
+    scipy's default filter (shorter, slightly different rolloff —
+    measured log-mel divergence documented in COVERAGE.md)."""
     if sr == target_sr:
         return x.astype(np.float32)
     from math import gcd
     from scipy.signal import resample_poly
     g = gcd(sr, target_sr)
-    return resample_poly(x, target_sr // g, sr // g).astype(np.float32)
+    up, down = target_sr // g, sr // g
+    if quality == "kaiser_fast":
+        h = _kaiser_fast_fir(up, down)
+        return resample_poly(x, up, down, window=h).astype(np.float32)
+    if quality == "polyphase":
+        return resample_poly(x, up, down).astype(np.float32)
+    raise ValueError(f"unknown resample quality: {quality!r}")
 
 
 @dataclasses.dataclass

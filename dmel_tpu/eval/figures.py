@@ -59,26 +59,43 @@ def produce_data_example_plot(out_path: str, sigma_ref: float = 6.38,
     return out_path
 
 
-def _lineplot_by_init(ax, df, ycol, ylabel):
-    tmask = df["config/trainable"].astype(str) == "True" \
-        if df["config/trainable"].dtype != bool else df["config/trainable"]
-    for trainable, sub_mask in [(True, tmask), (False, ~tmask)]:
-        sub = df[sub_mask]
-        if not len(sub):
-            continue
-        grp = sub.groupby(sub["config/init_lambd"].astype(float))[ycol]
-        mean, std = grp.mean(), grp.std().fillna(0.0)
-        ax.errorbar(mean.index, mean.values, yerr=std.values, marker="o",
-                    capsize=3, label=f"trainable={trainable}")
-    ax.set_xlabel(r"$\lambda_{init}$")
-    ax.set_ylabel(ylabel)
-    ax.legend()
+#: reference model-name display titles (produce_figures.py:277-291)
+MODEL_TITLES = {
+    "conv_net": "ConvNet",
+    "linear_net": "LinearNet",
+    "mel_linear_net": "MelLinearNet",
+    "mel_conv_net": "MelConvNet",
+    "mel_mlp_net": "MelMlpNet",
+    "panns_cnn6": "PANNs CNN6",
+}
+
+#: reference per-dataset model columns (produce_figures.py:79-87)
+DATASET_MODELS = {
+    "audio_mnist": ["mel_linear_net", "mel_conv_net"],
+    "esc50": ["panns_cnn6"],
+    "time_frequency": ["linear_net", "conv_net"],
+}
 
 
-def produce_accuracy_plot(sweep_dir: str, out_path: str,
+def _lineplot(ax, df, ycol, legend_loc):
+    """Seaborn lineplot of ycol vs init_lambd with trainable hue — the
+    reference's exact mark/hue styling (produce_figures.py:136-145)."""
+    import seaborn as sns
+    d = df.copy()
+    d["config/init_lambd"] = d["config/init_lambd"].astype(float)
+    d["config/trainable"] = d["config/trainable"].astype(str)
+    sns.lineplot(data=d, x="config/init_lambd", y=ycol, marker="o",
+                 hue="config/trainable", ax=ax)
+    ax.legend(loc=legend_loc, title="Trainable")
+
+
+def produce_accuracy_plot(sweep_dir: str, out_path: str | None = None,
                           split: str = "valid"):
-    """Accuracy and lambda_est vs lambda_init with trainable hue
-    (produce_figures.py:78-245)."""
+    """Per-dataset accuracy + lambda_est figure with the reference's
+    exact structure (produce_figures.py:78-168): a 2 x n_models grid —
+    one column per model (titled), row 0 accuracy-vs-lambda_init, row 1
+    lambda_est-vs-lambda_init, trainable hue, per-dataset y-limits, and
+    the ``{split}_{dataset}.pdf`` naming convention."""
     df = load_results(sweep_dir)
     dataset_name = str(df.iloc[0]["config/dataset_name"])
     if split == "test":
@@ -88,19 +105,37 @@ def produce_accuracy_plot(sweep_dir: str, out_path: str,
     else:
         ycol, ylabel = "best_valid_acc", "Validation accuracy"
 
-    fig, ax = plt.subplots(1, 2, figsize=(9, 3.5))
-    _lineplot_by_init(ax[0], df, ycol, ylabel)
-    band = ACC_BANDS.get(dataset_name)
-    if band:
-        ax[0].set_ylim(band)
-    _lineplot_by_init(ax[1], df, "best_lambd_est", r"$\lambda_{est}$")
-    sigma_ref = df.iloc[0].get("config/sigma_ref")
-    if sigma_ref is not None and not pd.isna(sigma_ref):
-        ax[1].axhline(float(sigma_ref), linestyle="dashed", color="purple",
-                      label=r"$\sigma_{ref}$")
-        ax[1].legend()
-    fig.suptitle(dataset_name)
+    present = [str(m) for m in df["config/model_name"].unique()]
+    model_names = [m for m in DATASET_MODELS.get(dataset_name, present)
+                   if m in present] or present
+    n = len(model_names)
+    column_width, figure_height = 4, 3          # produce_figures.py:111-112
+    fig, ax = plt.subplots(2, n, figsize=(column_width * n,
+                                          figure_height * 2),
+                           squeeze=False)
+    lcol = "best_lambd_est" if "best_lambd_est" in df else "lambd_est"
+    for col, model_name in enumerate(model_names):
+        dfm = df[df["config/model_name"].astype(str) == model_name]
+        ax[0, col].set_title(MODEL_TITLES.get(model_name, model_name))
+        _lineplot(ax[0, col], dfm, ycol, "lower center")
+        _lineplot(ax[1, col], dfm, lcol, "upper left")
+        band = ACC_BANDS.get(dataset_name)
+        if band:
+            ax[0, col].set_ylim(band)
+        # reference label pattern: y-labels only on the first column,
+        # x-labels only on the bottom row (produce_figures.py:148-155)
+        ax[0, col].set_ylabel(ylabel if col == 0 else "")
+        ax[0, col].set_xlabel("")
+        ax[1, col].set_ylabel(r"$\lambda_{est}$" if col == 0 else "")
+        ax[1, col].set_xlabel(r"$\lambda_{init}$")
+        sigma_ref = df.iloc[0].get("config/sigma_ref")
+        if sigma_ref is not None and not pd.isna(sigma_ref):
+            ax[1, col].axhline(float(sigma_ref), linestyle="dashed",
+                               color="purple", label=r"$\sigma_{ref}$")
+            ax[1, col].legend(loc="upper left")
     fig.tight_layout()
+    if out_path is None:
+        out_path = os.path.join(sweep_dir, f"{split}_{dataset_name}.pdf")
     fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return out_path
