@@ -37,6 +37,29 @@ class TestMultiSigmaOp:
         assert diff[:4].sum() > 0          # group-0 bands moved
         assert diff[4:].sum() == 0         # group-1 bands untouched
 
+    def test_specgemm_shares_spectra(self, rng):
+        """Multi-sigma through the specgemm path: the lambda-independent
+        spectra GEMMs appear ONCE in the program (vmap does not batch
+        ops with no mapped dependence), so K sigmas cost K banded convs
+        instead of K full spectrograms — and results match the exact
+        path."""
+        x = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32))
+        lam = jnp.asarray([30.0, 60.0])
+        kw = dict(n_mels=16, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=512)
+        a = ops.multi_sigma_mel_spectrogram(x, lam, method="specgemm", **kw)
+        b = ops.multi_sigma_mel_spectrogram(x, lam, method="matmul", **kw)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * float(
+            jnp.max(jnp.abs(b)))
+        # structural check: the unwindowed-spectra conv appears exactly
+        # once in the program (shared across the K sigmas)
+        jaxpr = jax.make_jaxpr(
+            lambda l: ops.multi_sigma_mel_spectrogram(
+                x, l, method="specgemm", **kw))(lam)
+        convs = [e for e in jaxpr.jaxpr.eqns
+                 if e.primitive.name == "conv_general_dilated"]
+        assert len(convs) == 1, len(convs)
+
     def test_per_sigma_grads(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
 
