@@ -218,7 +218,7 @@ def main():
                 x - x.mean(-1, keepdims=True), jnp.abs(l), win_length=WIN,
                 n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS, sample_rate=SR,
                 interpret=not on_tpu, compute_dtype=dtype)
-            return jnp.log(m + 1e-10)
+            return ops.accurate_log(m + 1e-10)
         return feat
 
     def xla_feat(method, precision=None, x_precision=None):
@@ -228,7 +228,7 @@ def main():
                                     hop_length=HOP, optimized=True,
                                     window_length=WIN, method=method,
                                     precision=prec, x_precision=x_precision)
-            return jnp.log(m + 1e-10)
+            return ops.accurate_log(m + 1e-10)
         return feat
 
     # Candidates: parity is MEASURED below on this run's inputs; only
@@ -240,6 +240,12 @@ def main():
         # conv + mel at f32 — the derivative-window identity path.
         "xla-specgemm": xla_feat("specgemm",
                                  x_precision=jax.lax.Precision.HIGH),
+        # mixed-precision custom VJP: HIGH fwd (feature parity), plain
+        # bf16 adjoint GEMM (gradient-only, error printed below)
+        "xla-matmul_ext_mp": xla_feat("matmul_ext_mp",
+                                      jax.lax.Precision.HIGH),
+        # insurance: HIGHEST fwd (1.2e-5-class features) + bf16 adjoint
+        "xla-matmul_ext_mp-HST": xla_feat("matmul_ext_mp"),
     }
     extras = {
         "xla-matmul_ext-HIGHEST": xla_feat("matmul_ext"),

@@ -82,7 +82,8 @@ class _MelFrontEnd(nn.Module):
     def _features(self, x):
         s = self._spectrogram_layer()(x)
         if self.energy_normalize:
-            s = jnp.log(s + LOG_EPS)
+            from dmel_tpu.ops.numerics import accurate_log
+            s = accurate_log(s + LOG_EPS)   # TPU log alone costs ~1e-4
         return s
 
 

@@ -17,10 +17,12 @@ from dmel_tpu.ops.stft import (  # noqa: F401
     stft_power_folded,
     stft_power_conv,
     stft_power_specgemm,
+    stft_power_matmul_ext_mp,
     specgemm_ok,
     dft_matrices,
     num_frames,
 )
+from dmel_tpu.ops.numerics import accurate_log  # noqa: F401
 from dmel_tpu.ops.mel import (  # noqa: F401
     hz_to_mel,
     mel_to_hz,

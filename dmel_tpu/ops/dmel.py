@@ -94,8 +94,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
 
 
 def log_mel_spectrogram(x: jnp.ndarray, lambd, **kwargs) -> jnp.ndarray:
-    """``log(mel_spectrogram(x) + 1e-10)`` (reference models.py:73)."""
-    return jnp.log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)
+    """``log(mel_spectrogram(x) + 1e-10)`` (reference models.py:73).
+
+    Uses the Newton-refined log: the TPU hardware log alone costs
+    ~1.1e-4 of the 1e-4 feature-parity budget (see ops/numerics.py).
+    """
+    from dmel_tpu.ops.numerics import accurate_log
+    return accurate_log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)
 
 
 def default_band_map(n_mels: int, n_sigma: int) -> jnp.ndarray:

@@ -334,9 +334,111 @@ def _band_matrices(wr: jnp.ndarray, wi: jnp.ndarray, j_taps: int,
     return tr, ti
 
 
+@functools.lru_cache(maxsize=32)
+def _delta_basis_np(hop: int, n_fft: int, j_taps: int):
+    """(hop, K_ext) cos/sin bases for the sliding-DFT head/tail deltas:
+    ``sum_{u<hop} x[u] e^{-2 pi i u k / n_fft}`` at extended bins."""
+    import numpy as np
+    u = np.arange(hop)[:, None]
+    k = np.arange(-j_taps, n_fft // 2 + 1 + j_taps)[None, :]
+    ang = -2.0 * np.pi * u * k / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+def sliding_group(hop_length: int, lane: int = 128) -> int:
+    """Frames per sliding-DFT group: smallest G with G*hop % lane == 0
+    (so the base-frame framing is lane-aligned and gather-free)."""
+    import math
+    return lane // math.gcd(hop_length, lane)
+
+
+def _sliding_spectra(x: jnp.ndarray, n_fft: int, hop_length: int,
+                     j_taps: int, precision):
+    """Unwindowed extended-bin spectra via the sliding-DFT recurrence.
+
+    Only every G-th frame pays a full DFT GEMM (over an *aligned*,
+    gather-free framing with hop G*h); the G-1 frames in between follow
+    from ``X_{t+1}[k] = e^{+2 pi i h k / N} (X_t[k] - H_t[k] + T_t[k])``
+    where the head/tail deltas H, T are DFTs of hop-length segments
+    obtained by plain reshapes (no gather) and a (hop x K_ext) GEMM.
+    Exact for integer bins (``omega^{Nk} = 1``); cuts the dominant
+    spectra cost by ~G/2 vs the full DFT GEMM.
+
+    Returns ``(xr, xi)`` of shape ``(B, n_rows, K_ext)`` with
+    ``n_rows = ceil(nfr/G)*G`` frames in time order (trailing rows are
+    padding garbage — slice to nfr downstream).
+    """
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    h = hop_length
+    n_bins = n_fft // 2 + 1
+    k_ext = n_bins + 2 * j_taps
+    nfr = num_frames(t, h)
+    g = sliding_group(h)
+    ngrp = -(-nfr // g)
+    n_rows = ngrp * g
+    pad = n_fft // 2
+    need = (n_rows - 1) * h + n_fft + h          # tails of the last frame
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, need - pad - t)])
+    xp = xp.reshape((-1, need))
+    b = xp.shape[0]
+
+    dtype = x.dtype
+    cb, sb = _dft_matrices_ext_np(n_fft, j_taps)
+    hc, hs = _delta_basis_np(h, n_fft, j_taps)
+    hc = jnp.asarray(hc, dtype)
+    hs = jnp.asarray(hs, dtype)
+
+    # head/tail delta spectra from contiguous reshapes
+    heads = xp[:, :n_rows * h].reshape(b, n_rows, h)
+    tails = xp[:, n_fft:n_fft + n_rows * h].reshape(b, n_rows, h)
+    hr = jnp.matmul(heads, hc, precision=precision)
+    hi = jnp.matmul(heads, hs, precision=precision)
+    tr = jnp.matmul(tails, hc, precision=precision)
+    ti = jnp.matmul(tails, hs, precision=precision)
+
+    # base frames t = G*g via aligned gather-free framing (stride G*h
+    # is a lane multiple by construction)
+    stride = g * h
+    kblk = -(-n_fft // stride)
+    n_ext = kblk * stride
+    total = (ngrp - 1 + kblk) * stride
+    xpb = jnp.pad(xp, ((0, 0), (0, max(0, total - need))))[:, :total]
+    resh = xpb.reshape(b, total // stride, stride)
+    parts = [resh[:, j:j + ngrp, :] for j in range(kblk)]
+    base_frames = jnp.concatenate(parts, axis=-1)        # (b, ngrp, n_ext)
+    zpad = ((0, n_ext - n_fft), (0, 0))
+    c_ext = jnp.asarray(jnp.pad(jnp.asarray(cb), zpad), dtype)
+    s_ext = jnp.asarray(jnp.pad(jnp.asarray(sb), zpad), dtype)
+    xr0 = jnp.matmul(base_frames, c_ext, precision=precision)
+    xi0 = jnp.matmul(base_frames, s_ext, precision=precision)
+
+    # rotation e^{+2 pi i h k / N} applied G-1 times
+    import numpy as np
+    kk = np.arange(-j_taps, n_bins + j_taps)
+    ang = 2.0 * np.pi * h * kk / n_fft
+    rr = jnp.asarray(np.cos(ang), dtype)
+    ri = jnp.asarray(np.sin(ang), dtype)
+
+    xs_r, xs_i = [xr0], [xi0]
+    cr, ci = xr0, xi0
+    for i in range(1, g):
+        # frame index t = G*grp + i - 1 for every group
+        ar = cr - hr[:, i - 1::g][:, :ngrp] + tr[:, i - 1::g][:, :ngrp]
+        ai = ci - hi[:, i - 1::g][:, :ngrp] + ti[:, i - 1::g][:, :ngrp]
+        cr = rr * ar - ri * ai
+        ci = rr * ai + ri * ar
+        xs_r.append(cr)
+        xs_i.append(ci)
+    xr = jnp.stack(xs_r, axis=2).reshape(b, n_rows, k_ext)
+    xi = jnp.stack(xs_i, axis=2).reshape(b, n_rows, k_ext)
+    return (xr.reshape(batch_shape + (n_rows, k_ext)),
+            xi.reshape(batch_shape + (n_rows, k_ext)))
+
+
 def stft_power_specgemm(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
                         hop_length: int, *, j_taps: int = SPECGEMM_J_TAPS,
-                        x_impl: str = "conv",
+                        x_impl: str = "auto",
                         precision=jax.lax.Precision.HIGHEST,
                         x_precision=None) -> jnp.ndarray:
     """Power spectrogram via frequency-domain window application.
@@ -361,10 +463,15 @@ def stft_power_specgemm(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
       window: ``(win_length,)`` analysis window; for this path
         ``win_length == n_fft`` is required (optimized-mode convention).
       j_taps: half-support of the truncated window spectrum.
-      x_impl: how to compute the unwindowed spectra — "conv" (strided
-        conv1d straight from the signal: no frame materialization, and
-        since X needs no adjoint the conv filter-gradient never runs) or
-        "gemm" (gather-free ext framing + DFT GEMM).
+      x_impl: how to compute the unwindowed spectra —
+        - "sliding": sliding-DFT recurrence (one aligned base GEMM per
+          G frames + hop-length delta GEMMs; fastest measured on TPU);
+        - "gemm": gather-free ext framing + full DFT GEMM;
+        - "conv": strided conv1d straight from the signal (lowered
+          poorly by XLA:TPU at this size — measured 2.3x slower);
+        - "auto": "sliding" when the hop admits a small group
+          (``sliding_group(hop) <= 16``) and the signal is long enough,
+          else "gemm".
       precision: banded/mel-side matmul precision.
       x_precision: precision for the big X GEMMs (defaults to
         ``precision``); bf16x3 (``Precision.HIGH``) measured parity-safe.
@@ -386,7 +493,16 @@ def stft_power_specgemm(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
     cb, sb = _dft_matrices_ext_np(n_fft, j_taps)
     dtype = x.dtype
 
-    if x_impl == "conv":
+    if x_impl == "auto":
+        g = sliding_group(hop_length)
+        x_impl = "sliding" if (g <= 16 and nfr >= 2 * g) else "gemm"
+
+    if x_impl == "sliding":
+        xr, xi = _sliding_spectra(x, n_fft, hop_length, j_taps,
+                                  x_precision)
+        xr = xr.reshape((-1,) + xr.shape[-2:])
+        xi = xi.reshape((-1,) + xi.shape[-2:])
+    elif x_impl == "conv":
         # one pass over the signal; filters are constants (no grad path)
         filt = jnp.asarray(
             jnp.concatenate([jnp.asarray(cb), jnp.asarray(sb)], axis=1),
@@ -432,10 +548,107 @@ def stft_power_specgemm(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
             - jnp.matmul(xi_b, ti, precision=precision))
     s_im = (jnp.matmul(xr_b, ti, precision=precision)
             + jnp.matmul(xi_b, tr, precision=precision))
-    p = s_re * s_re + s_im * s_im                    # (B, nfr, nb, block)
-    p = p.reshape((-1, nfr, k_pad))[..., :n_bins]
+    p = s_re * s_re + s_im * s_im                 # (B, n_rows, nb, block)
+    n_rows = p.shape[1]
+    p = p.reshape((-1, n_rows, k_pad))[..., :nfr, :n_bins]
     p = p.reshape(batch_shape + (nfr, n_bins))
     return jnp.swapaxes(p, -1, -2)
+
+
+def _cs_basis(n_fft, n_ext, dtype):
+    """Zero-extended concatenated [C | S] basis ``(n_ext, 2*n_bins)`` —
+    one GEMM computes Re and Im together (frames read once)."""
+    c, s = dft_matrices(n_fft, dtype=dtype)
+    zc = jnp.zeros((n_ext - n_fft, c.shape[1]), c.dtype)
+    return jnp.concatenate([jnp.concatenate([c, zc]),
+                            jnp.concatenate([s, zc])], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _matmul_ext_mp(x, window, n_fft, hop_length, fwd_precision,
+                   bwd_precision):
+    p, _ = _matmul_ext_mp_fwd(x, window, n_fft, hop_length, fwd_precision,
+                              bwd_precision)
+    return p
+
+
+def _matmul_ext_mp_fwd(x, window, n_fft, hop_length, fwd_precision,
+                       bwd_precision):
+    # x arrives flattened to (B, T) by the wrapper so the bwd can
+    # reconstruct dx's shape from the residuals alone
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    nfr = num_frames(t, hop_length)
+    frames_ext, n_ext = frame_signal_ext(x, n_fft, hop_length)
+    frames_ext = frames_ext.reshape((-1, nfr, n_ext))
+    w_ext = jnp.pad(window, (0, n_ext - n_fft))
+    cs = _cs_basis(n_fft, n_ext, x.dtype)
+    fw = frames_ext * w_ext
+    reim = jnp.matmul(fw, cs, precision=fwd_precision)
+    n_bins = n_fft // 2 + 1
+    re, im = reim[..., :n_bins], reim[..., n_bins:]
+    p = re * re + im * im
+    p = jnp.swapaxes(p, -1, -2).reshape(batch_shape + (n_bins, nfr))
+    # sig_ref: tiny carrier of x's exact length for the dx crop
+    return p, (frames_ext, w_ext, re, im, jnp.zeros(x.shape[-1:], x.dtype))
+
+
+def _matmul_ext_mp_bwd(n_fft, hop_length, fwd_precision, bwd_precision,
+                       residuals, dp):
+    frames_ext, w_ext, re, im, sig_ref = residuals
+    n_ext = frames_ext.shape[-1]
+    nfr = frames_ext.shape[-2]
+    n_bins = n_fft // 2 + 1
+    batch_shape = dp.shape[:-2]
+    dp = jnp.swapaxes(dp.reshape((-1, n_bins, nfr)), -1, -2)
+    dreim = jnp.concatenate([2.0 * re * dp, 2.0 * im * dp], axis=-1)
+    cs = _cs_basis(n_fft, n_ext, re.dtype)
+    # the adjoint GEMM runs at bwd_precision: it shapes only the
+    # lambda GRADIENT (plain bf16 => ~1e-5..1e-4 relative gradient
+    # noise, far below SGD batch noise), never the features
+    dfw = jnp.matmul(dreim, cs.T, precision=bwd_precision)
+    dwindow = jnp.einsum("btm,btm->m", frames_ext, dfw,
+                         precision=jax.lax.Precision.HIGHEST)[:n_fft]
+    # dx path (the transpose of frame_signal_ext, an overlap-add) —
+    # XLA dead-code-eliminates it unless a caller differentiates w.r.t.
+    # the signal itself
+    dframes = dfw * w_ext
+    b = dframes.shape[0]
+    k = n_ext // hop_length
+    nrows = nfr - 1 + k
+    acc = jnp.zeros((b, nrows, hop_length), dframes.dtype)
+    parts = dframes.reshape(b, nfr, k, hop_length)
+    for j in range(k):
+        acc = acc.at[:, j:j + nfr, :].add(parts[:, :, j, :])
+    flat = acc.reshape(b, nrows * hop_length)
+    pad = n_fft // 2
+    t = sig_ref.shape[-1]
+    dx = flat[:, pad:pad + t].reshape(batch_shape + (t,))
+    return dx, dwindow
+
+
+_matmul_ext_mp.defvjp(_matmul_ext_mp_fwd, _matmul_ext_mp_bwd)
+
+
+def stft_power_matmul_ext_mp(x, window, n_fft, hop_length, *,
+                             fwd_precision=jax.lax.Precision.HIGH,
+                             bwd_precision=jax.lax.Precision.DEFAULT):
+    """matmul_ext power spectrogram with a mixed-precision custom VJP.
+
+    Forward DFT GEMM at ``fwd_precision`` (bf16x3 'HIGH' passes the
+    1e-4 feature gate); the backward adjoint GEMM at ``bwd_precision``
+    (plain bf16 by default — one MXU pass instead of three).  The
+    backward GEMM touches only the lambda gradient; measured dlambda
+    relative error stays in the 1e-5..1e-4 band (printed by bench.py),
+    orders below SGD batch noise.  Semantics match the autograd chain of
+    /root/reference/time_frequency.py:48-53.
+
+    Requires ``win_length == n_fft`` (optimized-mode convention).
+    """
+    if window.shape[-1] != n_fft:
+        raise ValueError("matmul_ext_mp requires win_length == n_fft")
+    return _matmul_ext_mp(x, window, n_fft, hop_length, fwd_precision,
+                          bwd_precision)
 
 
 def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
@@ -459,9 +672,13 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
         - "folded": half-size GEMMs via DFT symmetry;
         - "conv": strided conv1d formulation;
         - "specgemm": frequency-domain window application over
-          lambda-independent spectra (fastest fwd+bwd; requires
-          ``win_length == n_fft`` and small window endpoint values —
-          gate with :func:`specgemm_ok` outside jit).
+          lambda-independent spectra (requires ``win_length == n_fft``
+          and small window endpoint values — gate with
+          :func:`specgemm_ok` outside jit);
+        - "matmul_ext_mp": matmul_ext with a mixed-precision custom VJP
+          (fwd at ``precision``, adjoint GEMM at ``x_precision`` or
+          plain bf16) — fastest measured fwd+bwd on TPU at full
+          feature parity.
         All methods are numerically equivalent to float32 rounding.
       precision: matmul precision for the matmul paths.
       x_precision: specgemm only — precision for the lambda-independent
@@ -487,6 +704,12 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
         return stft_power_specgemm(x, window, n_fft, hop_length,
                                    precision=precision,
                                    x_precision=x_precision)
+    if method == "matmul_ext_mp":
+        # mixed-precision custom VJP: fwd at `precision`, adjoint GEMM
+        # at `x_precision` (plain bf16 by default)
+        return stft_power_matmul_ext_mp(
+            x, window, n_fft, hop_length, fwd_precision=precision,
+            bwd_precision=x_precision or jax.lax.Precision.DEFAULT)
     if method == "folded":
         return stft_power_folded(x, window, n_fft, hop_length,
                                  precision=precision)

@@ -51,14 +51,16 @@ class TestMultiSigmaOp:
         b = ops.multi_sigma_mel_spectrogram(x, lam, method="matmul", **kw)
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4 * float(
             jnp.max(jnp.abs(b)))
-        # structural check: the unwindowed-spectra conv appears exactly
-        # once in the program (shared across the K sigmas)
-        jaxpr = jax.make_jaxpr(
-            lambda l: ops.multi_sigma_mel_spectrogram(
-                x, l, method="specgemm", **kw))(lam)
-        convs = [e for e in jaxpr.jaxpr.eqns
-                 if e.primitive.name == "conv_general_dilated"]
-        assert len(convs) == 1, len(convs)
+        # structural check: the spectra pipeline is not duplicated per
+        # sigma — the program has the same op count for K=2 and K=4
+        # (vmap leaves the lambda-independent X computation unbatched,
+        # and the per-sigma band convs batch into single eqns)
+        def n_eqns(k):
+            jaxpr = jax.make_jaxpr(
+                lambda l: ops.multi_sigma_mel_spectrogram(
+                    x, l, method="specgemm", **kw))(jnp.full((k,), 30.0))
+            return len(jaxpr.jaxpr.eqns)
+        assert n_eqns(2) == n_eqns(4)
 
     def test_per_sigma_grads(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))

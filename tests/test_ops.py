@@ -250,7 +250,7 @@ class TestSpecGemm:
     J-truncated window spectrum must keep log-mel parity <= 1e-4 and
     lambda-gradient parity with the exact GEMM path."""
 
-    @pytest.mark.parametrize("x_impl", ["conv", "gemm"])
+    @pytest.mark.parametrize("x_impl", ["conv", "gemm", "sliding"])
     def test_matches_torch_optimized_mode(self, rng, x_impl):
         from dmel_tpu.ops.stft import stft_power_specgemm
         x = rng.standard_normal(4000).astype(np.float32)
@@ -310,6 +310,60 @@ class TestSpecGemm:
         w = ops.gaussian_window(10.0, 128)
         with pytest.raises(ValueError):
             stft_power_specgemm(x, w, 256, 10)
+
+
+class TestMatmulExtMP:
+    """Mixed-precision custom VJP (stft_power_matmul_ext_mp): forward
+    features bit-match the plain path at equal precision; the adjoint's
+    dlambda and dx match the autodiff chain."""
+
+    def test_forward_matches_plain(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32))
+        w = ops.gaussian_window(64.0, 512)
+        hi = jax.lax.Precision.HIGHEST
+        a = ops.stft_power_matmul_ext_mp(x, w, 512, 40, fwd_precision=hi,
+                                         bwd_precision=hi)
+        b = ops.stft_power(x, w, 512, 40, method="matmul")
+        assert a.shape == b.shape
+        assert rel_err(a, b) < 1e-6
+
+    def test_grads_match_autodiff(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+        fb = ops.melscale_fbanks(257, 0.0, 4000, 64, 8000)
+        hi = jax.lax.Precision.HIGHEST
+
+        def loss(l, xx, mp):
+            w = ops.gaussian_window(l, 512)
+            p = (ops.stft_power_matmul_ext_mp(xx, w, 512, 40,
+                                              fwd_precision=hi,
+                                              bwd_precision=hi)
+                 if mp else ops.stft_power(xx, w, 512, 40,
+                                           method="matmul"))
+            return jnp.log(jnp.matmul(jnp.swapaxes(p, -1, -2), fb)
+                           + 1e-10).sum()
+
+        g_ref = float(jax.grad(loss)(jnp.float32(64.0), x, False))
+        g_mp = float(jax.grad(loss)(jnp.float32(64.0), x, True))
+        assert abs(g_mp - g_ref) < 1e-5 * abs(g_ref)
+        gx_ref = jax.grad(loss, argnums=1)(jnp.float32(64.0), x, False)
+        gx_mp = jax.grad(loss, argnums=1)(jnp.float32(64.0), x, True)
+        assert rel_err(gx_mp, gx_ref) < 1e-5
+
+    def test_dispatch_through_mel(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        a = ops.mel_spectrogram(x, 40.0, n_mels=32, sample_rate=8000,
+                                hop_length=20, optimized=True,
+                                window_length=256, method="matmul_ext_mp")
+        b = ops.mel_spectrogram(x, 40.0, n_mels=32, sample_rate=8000,
+                                hop_length=20, optimized=True,
+                                window_length=256, method="matmul")
+        assert rel_err(a, b) < 1e-6
+
+    def test_win_mismatch_raises(self, rng):
+        x = jnp.asarray(rng.standard_normal(500).astype(np.float32))
+        w = ops.gaussian_window(10.0, 128)
+        with pytest.raises(ValueError):
+            ops.stft_power_matmul_ext_mp(x, w, 256, 10)
 
 
 class TestRandomizedParity:
