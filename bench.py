@@ -236,10 +236,6 @@ def main():
     candidates = {
         "xla-matmul_ext-HIGH": xla_feat("matmul_ext",
                                         jax.lax.Precision.HIGH),
-        # specgemm: lambda-independent spectra at bf16x3, banded window
-        # conv + mel at f32 — the derivative-window identity path.
-        "xla-specgemm": xla_feat("specgemm",
-                                 x_precision=jax.lax.Precision.HIGH),
         # mixed-precision custom VJP: HIGH fwd (feature parity), plain
         # bf16 adjoint GEMM (gradient-only, error printed below)
         "xla-matmul_ext_mp": xla_feat("matmul_ext_mp",
@@ -248,7 +244,9 @@ def main():
         "xla-matmul_ext_mp-HST": xla_feat("matmul_ext_mp"),
     }
     extras = {
-        "xla-matmul_ext-HIGHEST": xla_feat("matmul_ext"),
+        # derivative-window identity path: exact (dlambda 6.5e-7) but
+        # MXU-block-granularity-bound — see PERF.md; wins only for
+        # multi-sigma where K sigmas share one spectra pass
         "xla-specgemm-HIGHEST": xla_feat("specgemm"),
     }
     if on_tpu:  # interpret-mode pallas at bench scale would take hours

@@ -40,6 +40,14 @@ def main():
             resample_rate=8000, energy_normalize=True, augment=False,
             optimizer_name="adam", lr_model=1e-4, lr_tf=1.0,
             trainable=True, batch_size=32),
+        "esc50/panns_cnn6 mp-frontend (B=32, 5s)": dict(
+            model_name="panns_cnn6", dataset_name="esc50",
+            init_lambd=8000 * 0.035 / 6, n_points=40000, hop_length=80,
+            optimized=True, normalize_window=False, n_mels=64,
+            resample_rate=8000, energy_normalize=True, augment=False,
+            optimizer_name="adam", lr_model=1e-4, lr_tf=1.0,
+            trainable=True, batch_size=32,
+            method="matmul_ext_mp", precision="high"),
         "audio_mnist/mel_linear_net (B=64, 1s)": dict(
             model_name="mel_linear_net", dataset_name="audio_mnist",
             init_lambd=8000 * 0.035 / 6, n_points=8000, hop_length=80,
@@ -47,6 +55,14 @@ def main():
             resample_rate=8000, energy_normalize=True,
             optimizer_name="adam", lr_model=1e-4, lr_tf=1.0,
             trainable=True, batch_size=64),
+        "audio_mnist/mel_linear_net mp (B=64, 1s)": dict(
+            model_name="mel_linear_net", dataset_name="audio_mnist",
+            init_lambd=8000 * 0.035 / 6, n_points=8000, hop_length=80,
+            optimized=True, normalize_window=False, n_mels=64,
+            resample_rate=8000, energy_normalize=True,
+            optimizer_name="adam", lr_model=1e-4, lr_tf=1.0,
+            trainable=True, batch_size=64,
+            method="matmul_ext_mp", precision="high"),
         "time_frequency/linear_net (B=128)": dict(
             model_name="linear_net", dataset_name="time_frequency",
             init_lambd=6.38, n_points=128, hop_length=1, optimized=False,
