@@ -249,7 +249,16 @@ def main():
         # multi-sigma where K sigmas share one spectra pass
         "xla-specgemm-HIGHEST": xla_feat("specgemm"),
     }
+    def framed_feat(l, x):
+        # in-kernel-framing fused kernel (ops/pallas/framed_dmel.py)
+        # via the package dispatch (impl="pallas" resolves to it here)
+        m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
+                                hop_length=HOP, optimized=True,
+                                window_length=WIN, impl="pallas_framed")
+        return ops.accurate_log(m + 1e-10)
+
     if on_tpu:  # interpret-mode pallas at bench scale would take hours
+        candidates["pallas-framed"] = framed_feat
         candidates["pallas-bf16x3"] = pal_feat("bf16x3")
         extras["pallas-f32"] = pal_feat(jnp.float32)
         extras["pallas-bf16"] = pal_feat(jnp.bfloat16)

@@ -43,8 +43,10 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         (reference models.py:38).
       abs_lambd: use ``|lambd|`` (reference models.py:38).
       method: "fft" | "matmul" STFT path (ignored for impl="pallas").
-      impl: "xla" (pure jnp, autodiff) or "pallas" (fused TPU kernel with
-        custom VJP).
+      impl: "xla" (pure jnp, autodiff), "pallas" (best fused TPU kernel:
+        the in-kernel-framing kernel when the geometry supports it, else
+        the framed-by-XLA fused kernel), or the explicit
+        "pallas_framed" / "pallas_fused" variants.
 
     Returns:
       ``(..., n_mels, n_frames)`` mel power spectrogram with
@@ -58,8 +60,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
     if abs_lambd:
         lambd = jnp.abs(lambd)
 
-    if impl == "pallas":
-        from dmel_tpu.ops.pallas import fused_dmel
+    if impl in ("pallas", "pallas_framed", "pallas_fused"):
+        from dmel_tpu.ops.pallas import framed_dmel, fused_dmel
         t = x.shape[-1]
         if optimized:
             if window_length is None:
@@ -69,6 +71,18 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         else:
             win_length = t
             n_fft = 2 * t
+        use_framed = (impl != "pallas_fused" and win_length == n_fft
+                      and framed_dmel.supported(n_fft, hop_length, n_mels))
+        if impl == "pallas_framed" and not use_framed:
+            raise ValueError("geometry unsupported by the framed kernel; "
+                             "see framed_dmel.supported")
+        if use_framed:
+            from dmel_tpu.ops.window import gaussian_window
+            w = gaussian_window(lambd, win_length, norm=normalize_window)
+            return framed_dmel.framed_mel_power(
+                x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
+                sample_rate=sample_rate, f_min=f_min, f_max=f_max,
+                interpret=not fused_dmel._on_tpu())
         if n_fft > fused_dmel.MAX_N_FFT:
             # DFT basis (2 x n_fft x n_fft/2 floats) would blow VMEM
             # budgets; the XLA FFT path handles long windows instead.

@@ -154,3 +154,76 @@ class TestFusedBwdKernel:
         finally:
             fd.USE_FUSED_BWD = old
         assert abs(g_fused - g_default) < 1e-4 * max(1.0, abs(g_default))
+
+
+class TestFramedKernel:
+    """In-kernel-framing fused kernels (ops/pallas/framed_dmel.py),
+    interpret mode: forward parity vs the exact GEMM path across hop
+    phase classes, lambda gradient (bf16-adjoint class), dx adjoint."""
+
+    @pytest.mark.parametrize("hop,n_fft", [(16, 256), (48, 256),
+                                           (8, 128), (32, 384)])
+    def test_forward_matches_exact(self, rng, hop, n_fft):
+        from dmel_tpu.ops.pallas import framed_dmel
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+        lam = n_fft / 8.0
+        w = ops.gaussian_window(lam, n_fft)
+        mel = framed_dmel.framed_mel_power(
+            x, w, n_fft=n_fft, hop_length=hop, n_mels=32,
+            sample_rate=8000, interpret=True)
+        ref = ops.mel_spectrogram(
+            x, lam, n_mels=32, sample_rate=8000, hop_length=hop,
+            optimized=True, window_length=n_fft, method="matmul",
+            subtract_mean=False)
+        assert mel.shape == ref.shape
+        err = float(jnp.max(jnp.abs(mel - ref)) / jnp.max(ref))
+        assert err < 1e-4, (hop, n_fft, err)
+
+    def test_grads(self, rng):
+        from dmel_tpu.ops.pallas import framed_dmel
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+
+        def loss(l, xx, kernel):
+            if kernel:
+                mel = framed_dmel.framed_mel_power(
+                    xx, ops.gaussian_window(l, 256), n_fft=256,
+                    hop_length=16, n_mels=32, sample_rate=8000,
+                    interpret=True)
+            else:
+                mel = ops.mel_spectrogram(
+                    xx, l, n_mels=32, sample_rate=8000, hop_length=16,
+                    optimized=True, window_length=256, method="matmul",
+                    subtract_mean=False, abs_lambd=False)
+            return jnp.log(mel + 1e-10).sum()
+
+        g_ref = float(jax.grad(loss)(jnp.float32(32.0), x, False))
+        g_k = float(jax.grad(loss)(jnp.float32(32.0), x, True))
+        # bf16 adjoint GEMMs: gradient-only noise in the 1e-4 band
+        assert abs(g_k - g_ref) < 5e-4 * abs(g_ref)
+        gx_ref = jax.grad(loss, argnums=1)(jnp.float32(32.0), x, False)
+        gx_k = jax.grad(loss, argnums=1)(jnp.float32(32.0), x, True)
+        assert float(jnp.max(jnp.abs(gx_k - gx_ref))
+                     / jnp.max(jnp.abs(gx_ref))) < 1e-4
+
+    def test_supported_guard(self):
+        from dmel_tpu.ops.pallas import framed_dmel
+        assert framed_dmel.supported(1024, 80, 64)
+        assert not framed_dmel.supported(1000, 80, 64)   # non-lane n_fft
+        assert not framed_dmel.supported(1024, 7, 64)    # G = 128 > 16
+        assert not framed_dmel.supported(4096, 80, 64)   # too large
+
+    def test_dispatch_impl_pallas(self, rng):
+        """mel_spectrogram(impl="pallas") resolves to the framed kernel
+        on supported geometry and matches the XLA path (incl. the
+        default subtract_mean + |lambda| handling)."""
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256)
+        got = ops.mel_spectrogram(x, -32.0, impl="pallas", **kw)
+        want = ops.mel_spectrogram(x, -32.0, method="matmul", **kw)
+        err = float(jnp.max(jnp.abs(got - want)) / jnp.max(want))
+        assert err < 1e-4, err
+        with pytest.raises(ValueError):
+            ops.mel_spectrogram(x, 32.0, impl="pallas_framed", n_mels=32,
+                                sample_rate=8000, hop_length=7,
+                                optimized=True, window_length=256)
