@@ -54,7 +54,11 @@ LAMBD = 128.0
 ITERS = 200
 REPEATS = 5
 PARITY_B = 4         # batch for the in-bench parity check
-PARITY_GATE = 1e-4
+PARITY_GATE = 1e-4   # log-mel feature max-abs error vs the torch oracle
+GRAD_GATE = 1e-2     # dlambda relative error vs the torch oracle; the
+                     # scalar window-length gradient tolerates bf16
+                     # adjoint noise far below SGD batch noise, but a
+                     # candidate must still stay in the 1% band
 AUDIO_S = B * T / SR
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -258,13 +262,23 @@ def main():
     }
     def framed_feat(l, x):
         # in-kernel-framing fused kernel (ops/pallas/framed_dmel.py)
-        # via the package dispatch (impl="pallas" resolves to it here)
         m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
                                 hop_length=HOP, optimized=True,
                                 window_length=WIN, impl="pallas_framed")
         return ops.accurate_log(m + 1e-10)
 
+    def specband_feat(l, x):
+        # sliding-DFT + banded-window kernel (ops/pallas/specband_dmel)
+        # via the production dispatch: impl="pallas" + a static
+        # lambd_hint inside the truncation window resolves to it
+        m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
+                                hop_length=HOP, optimized=True,
+                                window_length=WIN, impl="pallas",
+                                lambd_hint=LAMBD)
+        return ops.accurate_log(m + 1e-10)
+
     if on_tpu:  # interpret-mode pallas at bench scale would take hours
+        candidates["pallas-specband"] = specband_feat
         candidates["pallas-framed"] = framed_feat
         candidates["pallas-bf16x3"] = pal_feat("bf16x3")
         extras["pallas-f32"] = pal_feat(jnp.float32)
@@ -286,11 +300,11 @@ def main():
         except Exception as e:
             log(f"{name}: FAILED ({type(e).__name__}: {e})")
             continue
-        ok = ferr <= PARITY_GATE
+        ok = ferr <= PARITY_GATE and gerr <= GRAD_GATE
         log(f"{name}: {med * 1e3:.2f} ms/batch "
             f"[{lo * 1e3:.2f}-{hi * 1e3:.2f}] -> "
             f"{AUDIO_S / med:,.0f} audio-s/s | logmel_err={ferr:.2e} "
-            f"dlambda_rel={gerr:.2e} {'PASS' if ok else 'FAIL>1e-4'}")
+            f"dlambda_rel={gerr:.2e} {'PASS' if ok else 'FAIL-gate'}")
         if ok:
             results[name] = (med, ferr, gerr)
     for name, feat in extras.items():

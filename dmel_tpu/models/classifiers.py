@@ -55,6 +55,7 @@ class _MelFrontEnd(nn.Module):
     n_sigma: int = 1
     precision: str = "highest"
     method: str = "auto"
+    lambd_hint: Optional[float] = None
 
     @property
     def size(self) -> Tuple[int, int]:
@@ -69,7 +70,8 @@ class _MelFrontEnd(nn.Module):
                 optimized=self.optimized,
                 window_length=self.window_length,
                 normalize_window=self.normalize_window,
-                method=self.method, name="spectrogram_layer")
+                method=self.method, impl=self.impl,
+                lambd_hint=self.lambd_hint, name="spectrogram_layer")
         return MelSpectrogramLayer(
             init_lambd=self.init_lambd, n_mels=self.n_mels,
             n_points=self.n_points, sample_rate=self.sample_rate,
@@ -77,7 +79,7 @@ class _MelFrontEnd(nn.Module):
             window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
             precision=self.precision, method=self.method,
-            name="spectrogram_layer")
+            lambd_hint=self.lambd_hint, name="spectrogram_layer")
 
     def _features(self, x):
         s = self._spectrogram_layer()(x)

@@ -51,6 +51,10 @@ class MelSpectrogramLayer(nn.Module):
     impl: str = "xla"
     method: str = "auto"
     precision: str = "highest"   # "highest" (parity) | "default" (bf16 MXU)
+    #: static lambda-magnitude hint for the impl="pallas" specband gate
+    #: (see ops.mel_spectrogram); the training loop refreshes it at the
+    #: same host-side boundaries as the window bucket.
+    lambd_hint: Optional[float] = None
 
     @nn.compact
     def __call__(self, x):
@@ -65,7 +69,8 @@ class MelSpectrogramLayer(nn.Module):
             hop_length=self.hop_length, f_min=self.f_min, f_max=self.f_max,
             optimized=self.optimized, window_length=self.window_length,
             normalize_window=self.normalize_window, impl=self.impl,
-            method=self.method, precision=prec)
+            method=self.method, precision=prec,
+            lambd_hint=self.lambd_hint)
         return mel[:, None, :, :]
 
 
@@ -90,6 +95,8 @@ class MultiSigmaMelSpectrogramLayer(nn.Module):
     window_length: Optional[int] = None
     normalize_window: bool = False
     method: str = "auto"
+    impl: str = "xla"
+    lambd_hint: Optional[float] = None
 
     @nn.compact
     def __call__(self, x):
@@ -101,7 +108,8 @@ class MultiSigmaMelSpectrogramLayer(nn.Module):
             x, lambd, n_mels=self.n_mels, sample_rate=self.sample_rate,
             hop_length=self.hop_length, f_min=self.f_min, f_max=self.f_max,
             optimized=self.optimized, window_length=self.window_length,
-            normalize_window=self.normalize_window, method=self.method)
+            normalize_window=self.normalize_window, method=self.method,
+            impl=self.impl, lambd_hint=self.lambd_hint)
         return mel[:, None, :, :]
 
 

@@ -27,12 +27,16 @@ def n_classes_for(dataset_name: str) -> int:
 
 
 def get_model_by_config(config: dict,
-                        window_length: Optional[int] = None):
+                        window_length: Optional[int] = None,
+                        lambd_hint: Optional[float] = None):
     """Build a flax model module from a flat experiment config.
 
     ``window_length`` is the static optimized-mode window bucket for the
     current lambd (``ops.optimized_window_length``); pass None for
-    faithful mode.
+    faithful mode.  ``lambd_hint`` is the static lambda-magnitude hint
+    that lets impl="pallas" front-ends pick the specband kernel when the
+    current lambda sits inside its truncation window (the training loop
+    refreshes it at bucket-update boundaries).
     """
     n_classes = n_classes_for(config["dataset_name"])
     name = config["model_name"]
@@ -61,6 +65,7 @@ def get_model_by_config(config: dict,
         n_sigma=int(config.get("n_sigma", 1)),
         precision=config.get("precision", "highest"),
         method=config.get("method", "auto"),
+        lambd_hint=lambd_hint,
     )
 
     if name == "linear_net":

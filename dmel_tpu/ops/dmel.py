@@ -29,7 +29,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                     subtract_mean: bool = True, abs_lambd: bool = True,
                     method: str = "auto", impl: str = "xla",
                     precision=jax.lax.Precision.HIGHEST,
-                    x_precision=None) -> jnp.ndarray:
+                    x_precision=None, lambd_hint: float | None = None
+                    ) -> jnp.ndarray:
     """Batched differentiable mel power spectrogram.
 
     Args:
@@ -44,9 +45,18 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
       abs_lambd: use ``|lambd|`` (reference models.py:38).
       method: "fft" | "matmul" STFT path (ignored for impl="pallas").
       impl: "xla" (pure jnp, autodiff), "pallas" (best fused TPU kernel:
-        the in-kernel-framing kernel when the geometry supports it, else
-        the framed-by-XLA fused kernel), or the explicit
-        "pallas_framed" / "pallas_fused" variants.
+        the sliding-DFT specband kernel when the geometry supports it
+        AND a static ``lambd_hint`` passes the truncation guard, else
+        the in-kernel-framing kernel, else the framed-by-XLA fused
+        kernel), or the explicit "pallas_specband" / "pallas_framed" /
+        "pallas_fused" variants.
+      lambd_hint: static float telling the "pallas" auto-dispatch the
+        lambda magnitude this compilation will serve, so it can gate
+        the J-truncated specband kernel with
+        :func:`dmel_tpu.ops.stft.specgemm_ok` *outside* jit (the same
+        host-side re-dispatch mechanism as the power-of-2 window
+        bucket).  Ignored by the other impls; "pallas_specband" trusts
+        the caller (no hint needed, guard is on the caller).
 
     Returns:
       ``(..., n_mels, n_frames)`` mel power spectrogram with
@@ -60,7 +70,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
     if abs_lambd:
         lambd = jnp.abs(lambd)
 
-    if impl in ("pallas", "pallas_framed", "pallas_fused"):
+    if impl in ("pallas", "pallas_specband", "pallas_framed",
+                "pallas_fused"):
         from dmel_tpu.ops.pallas import framed_dmel, fused_dmel
         t = x.shape[-1]
         if optimized:
@@ -71,7 +82,31 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         else:
             win_length = t
             n_fft = 2 * t
-        use_framed = (impl != "pallas_fused" and win_length == n_fft
+        use_specband = False
+        if impl in ("pallas", "pallas_specband"):
+            from dmel_tpu.ops.pallas import specband_dmel
+            from dmel_tpu.ops.stft import specgemm_ok
+            geom_ok = (win_length == n_fft and
+                       specband_dmel.supported(n_fft, hop_length, n_mels))
+            if impl == "pallas_specband":
+                if not geom_ok:
+                    raise ValueError(
+                        "geometry unsupported by the specband kernel; "
+                        "see specband_dmel.supported")
+                use_specband = True
+            else:
+                use_specband = (geom_ok and lambd_hint is not None
+                                and specgemm_ok(lambd_hint, win_length,
+                                                n_fft, hop_length))
+        if use_specband:
+            from dmel_tpu.ops.pallas import specband_dmel
+            from dmel_tpu.ops.window import gaussian_window
+            w = gaussian_window(lambd, win_length, norm=normalize_window)
+            return specband_dmel.specband_mel_power(
+                x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
+                sample_rate=sample_rate, f_min=f_min, f_max=f_max,
+                interpret=not fused_dmel._on_tpu())
+        use_framed = (impl not in ("pallas_fused",) and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
         if impl == "pallas_framed" and not use_framed:
             raise ValueError("geometry unsupported by the framed kernel; "
@@ -130,7 +165,8 @@ def multi_sigma_mel_spectrogram(
         window_length: int | None = None, normalize_window: bool = False,
         subtract_mean: bool = True, abs_lambd: bool = True,
         band_map: jnp.ndarray | None = None, method: str = "auto",
-        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+        precision=jax.lax.Precision.HIGHEST, impl: str = "xla",
+        lambd_hint=None) -> jnp.ndarray:
     """Multi-sigma DMEL: each mel band gets its own trainable window.
 
     An extension beyond the reference (BASELINE.json configs[4]): a
@@ -141,8 +177,12 @@ def multi_sigma_mel_spectrogram(
     resolution).  With K == 1 this reduces exactly to
     :func:`mel_spectrogram`.
 
-    Cost is K power spectrograms; keep K modest (2-8 groups) or accept
-    the linear factor.  Differentiable in every ``lambds[k]``.
+    Cost is K power spectrograms on the XLA path; with ``impl="pallas"``
+    and a static ``lambd_hint`` (scalar or length-K sequence) whose
+    every value passes the specgemm truncation guard, the fused
+    specband kernel computes all K sigmas from ONE shared sliding-DFT
+    spectra pass (marginal cost per sigma: one banded GEMM per output
+    tile).  Differentiable in every ``lambds[k]``.
 
     Returns ``(..., n_mels, n_frames)``.
     """
@@ -156,6 +196,26 @@ def multi_sigma_mel_spectrogram(
         x = x - jnp.mean(x, axis=-1, keepdims=True)
     if abs_lambd:
         lambds = jnp.abs(lambds)
+
+    if impl == "pallas" and optimized and window_length is not None:
+        from dmel_tpu.ops.pallas import fused_dmel, specband_dmel
+        from dmel_tpu.ops.stft import specgemm_ok
+        from dmel_tpu.ops.window import gaussian_window
+        wl = int(window_length)
+        hints = (None if lambd_hint is None
+                 else [float(h) for h in jnp.atleast_1d(
+                     jnp.asarray(lambd_hint, jnp.float32))])
+        if (hints is not None
+                and specband_dmel.supported(wl, hop_length, n_mels)
+                and all(specgemm_ok(h, wl, wl, hop_length)
+                        for h in hints)):
+            windows = jax.vmap(
+                lambda l: gaussian_window(l, wl, norm=normalize_window)
+            )(lambds)
+            return specband_dmel.specband_mel_power_multi(
+                x, windows, band_map, n_fft=wl, hop_length=hop_length,
+                n_mels=n_mels, sample_rate=sample_rate, f_min=f_min,
+                f_max=f_max, interpret=not fused_dmel._on_tpu())
 
     def one_sigma(lambd):
         return spectrogram(x, lambd, optimized=optimized,

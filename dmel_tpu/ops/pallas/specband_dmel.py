@@ -1,0 +1,532 @@
+"""Fused specgemm-family DMEL kernel: sliding-DFT spectra + real-tap
+banded window conv + power + mel, all in one Pallas pass.
+
+This is the derivative-window gradient identity (SURVEY.md §3.3,
+reference /root/reference/time_frequency.py:48-53) taken to its TPU
+speed-of-light form.  The XLA specgemm path (ops/stft.py:
+stft_power_specgemm) is exact but loses on the MXU because (a) the
+lambda-independent spectra X are computed with a full direct DFT GEMM
+and (b) the banded frequency conv must be blocked to MXU granularity in
+four complex GEMM passes.  This kernel fixes both:
+
+1. **In-kernel sliding-DFT spectra.**  Frames overlap by n_fft - hop
+   samples; only the phase-0 frame of each G-frame group pays a full
+   (bf16x3) DFT GEMM.  The remaining G-1 phases follow from the exact
+   integer-bin recurrence ``X_{t+1} = e^{+2 pi i h k/N} (X_t - H_t +
+   T_t)`` where the head/tail correction ``D_t = DFT(tail_t - head_t)``
+   is ONE hop-length GEMM per phase (head and tail segments subtracted
+   *before* the DFT — they share the same relative basis).  At the
+   bench geometry (n_fft 1024, hop 80) this cuts the spectra GEMM flops
+   ~3.5x vs the direct DFT.  All rolls/slices happen on VMEM registers
+   (pltpu.roll), the same trick as framed_dmel.py.
+2. **Real-tap band conv.**  A window symmetric about N/2 (the Gaussian,
+   window.py:17) has spectrum ``What[d] = (-1)^d rho_d`` with rho real,
+   so with phase-flipped spectra ``X'[k] = (-1)^k X[k]`` the windowed
+   spectrum is ``S[k] = (-1)^k (rho (*) X')[k] / N`` — a real-tap conv:
+   TWO banded GEMMs instead of four, and the (-1)^k dies in |S|^2.
+   The 128-col output tiles read lane-aligned (LANE + 2J)-wide slices
+   of the VMEM-resident X', so the band GEMM contracts K = 176 instead
+   of a full n_fft.
+3. **lambda enters only through the 2J+1 taps.**  The band matrix T is
+   built in XLA from the window (differentiable, tiny); the kernel's
+   custom VJP returns dT accumulated by two transposed bf16 GEMMs per
+   tile (gradient-only precision, cf. stft.py:stft_power_matmul_ext_mp)
+   — the backward pass never touches a full DFT adjoint.  X' is saved
+   as bf16 residuals.  d/dx (rarely needed — the signal is data) falls
+   back to an XLA adjoint that is dead-code eliminated when unused.
+
+Parity contract: same math as the reference's autograd chain, gated by
+interpret-mode tests vs the exact GEMM path and by bench.py's in-run
+torch-oracle check on hardware.  Truncation to J taps is governed by
+the same guard as the XLA path (stft.specgemm_ok: 8|lambda| <= win).
+"""
+
+from __future__ import annotations
+
+import functools
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmel_tpu.ops.mel import melscale_fbanks
+from dmel_tpu.ops.stft import num_frames, SPECGEMM_J_TAPS
+
+LANE = 128
+MEL_PAD = 128
+ROWS = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supported(n_fft: int, hop_length: int, n_mels: int,
+              j_taps: int = SPECGEMM_J_TAPS) -> bool:
+    """Static geometry guard (the lambda-value guard is
+    stft.specgemm_ok, decided by the caller outside jit)."""
+    g = LANE // gcd(hop_length, LANE)
+    return (n_fft % LANE == 0 and g <= 16 and n_mels <= MEL_PAD
+            and n_fft <= 2048 and 2 * j_taps < LANE
+            and 2 * hop_length <= n_fft)  # center-pad coverage bound
+
+
+@functools.lru_cache(maxsize=16)
+def _plan(n_fft: int, hop_length: int, j_taps: int):
+    g = LANE // gcd(hop_length, LANE)
+    gr = ROWS // g
+    hop_ext = g * hop_length
+    need = max((g - 1) * hop_length + n_fft,
+               n_fft + (hop_ext if g > 1 else 0))
+    l_row = _round_up(need, hop_ext)
+    n_bins = n_fft // 2 + 1
+    k_ext = n_bins + 2 * j_taps            # bins -J .. n_bins-1+J
+    nt = -(-n_bins // LANE)                # output bin tiles
+    kpad = _round_up(max(k_ext, (nt - 1) * LANE + LANE + 2 * j_taps),
+                     LANE)
+    return g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad
+
+
+@functools.lru_cache(maxsize=16)
+def _bases_np(n_fft: int, j_taps: int, kpad: int):
+    """Phase-flipped extended-bin bases.
+
+    Column j of the (n_fft, kpad) base pair holds bin k = j - J of
+    ``(-1)^k DFT``; columns >= k_ext are zero.  The (LANE, kpad) delta
+    pair is the same for rows u < hop... rows are zeroed by the caller
+    (hop-dependent), here rows are the full LANE relative offsets.
+    """
+    n_bins = n_fft // 2 + 1
+    k = np.arange(kpad)[None, :] - j_taps          # bin index per col
+    valid = (k >= -j_taps) & (k < n_bins + j_taps)
+    flip = np.where(k % 2 == 0, 1.0, -1.0)
+    m = np.arange(n_fft)[:, None]
+    ang = -2.0 * np.pi * m * k / n_fft
+    c = np.where(valid, np.cos(ang) * flip, 0.0)
+    s = np.where(valid, np.sin(ang) * flip, 0.0)
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _delta_bases_np(n_fft: int, hop_length: int, j_taps: int, kpad: int):
+    c, s = _bases_np(n_fft, j_taps, kpad)
+    dc = c[:LANE].copy()
+    ds = s[:LANE].copy()
+    dc[hop_length:, :] = 0.0               # rows >= hop: masked out
+    ds[hop_length:, :] = 0.0
+    return dc, ds
+
+
+@functools.lru_cache(maxsize=16)
+def _rot_np(n_fft: int, hop_length: int, j_taps: int, kpad: int):
+    k = np.arange(kpad) - j_taps
+    ang = 2.0 * np.pi * hop_length * k / n_fft
+    return (np.cos(ang).astype(np.float32)[None, :],
+            np.sin(ang).astype(np.float32)[None, :])
+
+
+def _split_hi_lo(a32):
+    hi = a32.astype(jnp.bfloat16)
+    lo = (a32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a32, bhi, blo, col=None):
+    """bf16x3 GEMM of an f32 LHS against a hi/lo-split basis."""
+    f32 = jnp.float32
+    ahi, alo = _split_hi_lo(a32)
+    bh = bhi if col is None else bhi[:, col]
+    bl = blo if col is None else blo[:, col]
+    return (jnp.dot(ahi, bh, preferred_element_type=f32)
+            + jnp.dot(alo, bh, preferred_element_type=f32)
+            + jnp.dot(ahi, bl, preferred_element_type=f32))
+
+
+def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
+                dchi_ref, dclo_ref, dshi_ref, dslo_ref, rotr_ref,
+                roti_ref, thi_ref, tlo_ref, fb_ref,
+                mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr, hop_length,
+                n_fft, hop_ext, nt, kpad, j_taps, k_sig, interpret):
+    f32 = jnp.float32
+    xg = xg_ref[0]
+
+    # ---- sliding-DFT spectra into (ROWS, kpad) scratch, phase-major ----
+    base = xg[:, :n_fft]
+    xr_c = _dot3(base, bchi_ref[:], bclo_ref[:])
+    xi_c = _dot3(base, bshi_ref[:], bslo_ref[:])
+    xr_scr[0:gr, :] = xr_c
+    xi_scr[0:gr, :] = xi_c
+    if g > 1:
+        dblk = xg[:, n_fft:n_fft + hop_ext] - xg[:, :hop_ext]
+        rotr = rotr_ref[0, :]
+        roti = roti_ref[0, :]
+        for c in range(g - 1):
+            off = c * hop_length
+            loff = off % LANE
+            if loff == 0:
+                sl = dblk[:, off:off + LANE]
+            else:
+                if interpret:
+                    shifted = jnp.roll(dblk, -loff, axis=1)
+                else:
+                    shifted = pltpu.roll(dblk, hop_ext - loff, axis=1)
+                sl = shifted[:, off - loff:off - loff + LANE]
+            dr = _dot3(sl, dchi_ref[:], dclo_ref[:])
+            di = _dot3(sl, dshi_ref[:], dslo_ref[:])
+            ar = xr_c + dr
+            ai = xi_c + di
+            xr_c = rotr * ar - roti * ai
+            xi_c = rotr * ai + roti * ar
+            xr_scr[(c + 1) * gr:(c + 2) * gr, :] = xr_c
+            xi_scr[(c + 1) * gr:(c + 2) * gr, :] = xi_c
+
+    xres_ref[0, :, :kpad] = xr_scr[:].astype(jnp.bfloat16)
+    xres_ref[0, :, kpad:] = xi_scr[:].astype(jnp.bfloat16)
+
+    # ---- real-tap band conv + power + mel ----
+    # K sigmas share the spectra above: tmat is the horizontal concat
+    # of the K banded blocks, so one GEMM per tile produces all K
+    # windowed spectra; the (nt*K*LANE, MEL_PAD) filterbank rows are
+    # pre-masked per sigma group (rows ordered (tile, sigma, lane)).
+    width = LANE + 2 * j_taps
+    mel_acc = None
+    for f in range(nt):
+        xrs = xr_scr[:, f * LANE:f * LANE + width]
+        xis = xi_scr[:, f * LANE:f * LANE + width]
+        sre = _dot3(xrs, thi_ref[:], tlo_ref[:])
+        sim = _dot3(xis, thi_ref[:], tlo_ref[:])
+        p = sre * sre + sim * sim
+        mel_t = jnp.dot(p, fb_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32)
+        mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
+    mel_ref[0] = mel_acc
+
+
+def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, dt_ref, *,
+                nt, kpad, j_taps, k_sig):
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    width = LANE + 2 * j_taps
+    dmel = dmel_ref[0]
+    dt_acc = jnp.zeros((width, k_sig * LANE), f32)
+    dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
+    for f in range(nt):
+        xrs = xres_ref[0, :, f * LANE:f * LANE + width]
+        xis = xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
+        dp = jnp.dot(dmel, fbt_ref[:, pl.ds(f * k_sig * LANE,
+                                            k_sig * LANE)],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=f32)
+        sre = jnp.dot(xrs, tbf_ref[:], preferred_element_type=f32)
+        sim = jnp.dot(xis, tbf_ref[:], preferred_element_type=f32)
+        dsre = (2.0 * sre * dp).astype(bf)
+        dsim = (2.0 * sim * dp).astype(bf)
+        dt_acc = dt_acc + jax.lax.dot_general(
+            xrs, dsre, dims, preferred_element_type=f32)
+        dt_acc = dt_acc + jax.lax.dot_general(
+            xis, dsim, dims, preferred_element_type=f32)
+    dt_ref[0, 0] = dt_acc
+
+
+def _xg_layout(x, n_fft, hop_length, j_taps):
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
+     kpad) = _plan(n_fft, hop_length, j_taps)
+    b, t = x.shape
+    nfr = num_frames(t, hop_length)
+    ngrp = -(-nfr // g)
+    nblk = -(-ngrp // gr)
+    ngrp_pad = nblk * gr
+    pad = n_fft // 2
+    k = l_row // hop_ext
+    total = (ngrp_pad - 1 + k) * hop_ext
+    xp = jnp.pad(x, ((0, 0), (pad, max(0, total - pad - t))))[:, :total]
+    resh = xp.reshape(b, total // hop_ext, hop_ext)
+    xg = jnp.concatenate([resh[:, j:j + ngrp_pad, :] for j in range(k)],
+                         axis=-1)
+    return xg, nfr, nblk
+
+
+def window_taps_sym(window: jnp.ndarray, n_fft: int,
+                    j_taps: int = SPECGEMM_J_TAPS):
+    """Real taps rho_d of a window symmetric about N/2:
+    ``What[d] = (-1)^d rho_d`` with ``rho_d = sum_m w[m] cos(2 pi
+    (m - N/2) d / N)``.  Differentiable in the window (this is the only
+    place lambda enters the specband path)."""
+    m = np.arange(n_fft)[:, None] - n_fft / 2.0
+    d = np.arange(j_taps + 1)[None, :]
+    cb = jnp.asarray(np.cos(2.0 * np.pi * m * d / n_fft)
+                     .astype(np.float32))
+    rho_pos = jnp.matmul(window[None, :], cb,
+                         precision=jax.lax.Precision.HIGHEST)[0]
+    return jnp.concatenate([rho_pos[:0:-1], rho_pos]) / n_fft  # (2J+1,)
+
+
+def band_matrix(rho: jnp.ndarray, j_taps: int):
+    """(LANE + 2J, LANE) real banded Toeplitz block: T[u, v] =
+    rho[v - u + 2J] on the band, 0 outside (cf. stft._band_matrices)."""
+    width = LANE + 2 * j_taps
+    u = jnp.arange(width)[:, None]
+    v = jnp.arange(LANE)[None, :]
+    idx = v - u + 2 * j_taps
+    valid = (idx >= 0) & (idx <= 2 * j_taps)
+    return jnp.where(valid, rho[jnp.clip(idx, 0, 2 * j_taps)], 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _specband_mel(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
+    mel, _ = _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key,
+                           interpret)
+    return mel
+
+
+def _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+            band_map=None, k_sig=1):
+    """(nt*K*LANE, MEL_PAD) filterbank rows ordered (tile, sigma,
+    lane); for K > 1 each sigma's copy is masked to its mel bands."""
+    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
+                         sample_rate)
+    fb = jnp.pad(fb, ((0, nt * LANE - fb.shape[0]),
+                      (0, MEL_PAD - n_mels)))
+    if k_sig == 1:
+        return fb
+    sel = jax.nn.one_hot(jnp.asarray(band_map), k_sig,
+                         dtype=fb.dtype)              # (n_mels, K)
+    sel = jnp.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))
+    fb4 = fb.reshape(nt, 1, LANE, MEL_PAD) * sel.T[None, :, None, :]
+    return fb4.reshape(nt * k_sig * LANE, MEL_PAD)
+
+
+def _mel_key_parts(mel_key):
+    n_mels, sample_rate, f_min, f_max = mel_key[:4]
+    band_map = mel_key[4] if len(mel_key) > 4 else None
+    return n_mels, sample_rate, f_min, f_max, band_map
+
+
+def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
+    n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
+     kpad) = _plan(n_fft, hop_length, j_taps)
+    b, t = x.shape
+    xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps)
+    bc, bs = _bases_np(n_fft, j_taps, kpad)
+    bchi, bclo = _split_hi_lo(jnp.asarray(bc))
+    bshi, bslo = _split_hi_lo(jnp.asarray(bs))
+    dc, ds = _delta_bases_np(n_fft, hop_length, j_taps, kpad)
+    dchi, dclo = _split_hi_lo(jnp.asarray(dc))
+    dshi, dslo = _split_hi_lo(jnp.asarray(ds))
+    rr, ri = _rot_np(n_fft, hop_length, j_taps, kpad)
+    thi, tlo = _split_hi_lo(tmat)
+    k_sig = tmat.shape[-1] // LANE
+    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+                     band_map, k_sig)
+    width = LANE + 2 * j_taps
+
+    kern = functools.partial(
+        _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
+        hop_ext=hop_ext, nt=nt, kpad=kpad, j_taps=j_taps, k_sig=k_sig,
+        interpret=interpret)
+    const = lambda bi, ki: (0, 0)
+    mel_pm, xres = pl.pallas_call(
+        kern,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, gr, l_row), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((n_fft, kpad), const),
+            pl.BlockSpec((n_fft, kpad), const),
+            pl.BlockSpec((n_fft, kpad), const),
+            pl.BlockSpec((n_fft, kpad), const),
+            pl.BlockSpec((LANE, kpad), const),
+            pl.BlockSpec((LANE, kpad), const),
+            pl.BlockSpec((LANE, kpad), const),
+            pl.BlockSpec((LANE, kpad), const),
+            pl.BlockSpec((1, kpad), const),
+            pl.BlockSpec((1, kpad), const),
+            pl.BlockSpec((width, k_sig * LANE), const),
+            pl.BlockSpec((width, k_sig * LANE), const),
+            pl.BlockSpec((nt * k_sig * LANE, MEL_PAD), const),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, ROWS, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nblk * ROWS, MEL_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, nblk * ROWS, 2 * kpad),
+                                 jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, kpad), jnp.float32),
+            pltpu.VMEM((ROWS, kpad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
+      jnp.asarray(rr), jnp.asarray(ri), thi, tlo, fb_pad)
+
+    mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
+              .transpose(0, 1, 3, 2, 4)
+              .reshape(b, nblk * ROWS, MEL_PAD))[:, :nfr, :n_mels]
+    return mel_fr, (xres, tmat, x, nfr, nblk)
+
+
+def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
+                  residuals, dmel_fr):
+    xres, tmat, x_primal, nfr, nblk = residuals
+    n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
+     kpad) = _plan(n_fft, hop_length, j_taps)
+    b = xres.shape[0]
+    width = LANE + 2 * j_taps
+    k_sig = tmat.shape[-1] // LANE
+    dmel_p = jnp.pad(dmel_fr, ((0, 0), (0, 0), (0, MEL_PAD - n_mels)))
+    dmel_pm = jnp.zeros((b, nblk * ROWS, MEL_PAD), dmel_p.dtype)
+    dmel_pm = dmel_pm.at[:, :nfr, :].set(dmel_p)
+    dmel_pm = (dmel_pm.reshape(b, nblk, gr, g, MEL_PAD)
+               .transpose(0, 1, 3, 2, 4)
+               .reshape(b, nblk * ROWS, MEL_PAD))
+    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+                     band_map, k_sig)
+    fbt = jnp.swapaxes(fb_pad, 0, 1)
+
+    kern = functools.partial(_bwd_kernel, nt=nt, kpad=kpad,
+                             j_taps=j_taps, k_sig=k_sig)
+    const = lambda bi, ki: (0, 0)
+    dt_part = pl.pallas_call(
+        kern,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((width, k_sig * LANE), const),
+            pl.BlockSpec((MEL_PAD, nt * k_sig * LANE), const),
+        ],
+        out_specs=pl.BlockSpec((1, 1, width, k_sig * LANE),
+                               lambda bi, ki: (bi, ki, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nblk, width, k_sig * LANE),
+                                       jnp.float32),
+        interpret=interpret,
+    )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt)
+    dtmat = dt_part.sum(axis=(0, 1))
+
+    # The x cotangent (dead-code eliminated unless requested): mel is
+    # quadratic in X (linear in x) with lambda-independent maps, so a
+    # vjp through the XLA specband rebuild gives dx exactly.
+    def xla_specband(xv):
+        return _specband_xla_ref(xv, tmat, n_fft, hop_length, j_taps,
+                                 mel_key)
+    _, pull = jax.vjp(xla_specband, x_primal)
+    dx = pull(dmel_fr)[0]
+    return dx, dtmat
+
+
+def _specband_xla_ref(x, tmat, n_fft, hop_length, j_taps, mel_key):
+    """Pure-XLA rebuild of the kernel math (used for the dx adjoint and
+    as an oracle in tests): direct ext-bin phase-flipped spectra,
+    banded matmul with tmat, power, mel.  Handles K > 1 sigma groups
+    through the same concatenated tmat / masked-filterbank layout."""
+    n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
+     kpad) = _plan(n_fft, hop_length, j_taps)
+    b, t = x.shape
+    nfr = num_frames(t, hop_length)
+    pad = n_fft // 2
+    need = (nfr - 1) * hop_length + n_fft
+    xp = jnp.pad(x, ((0, 0), (pad, max(0, need - pad - t))))
+    idx = (jnp.arange(nfr)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = xp[:, idx]                                  # (B, nfr, n_fft)
+    bc, bs = _bases_np(n_fft, j_taps, kpad)
+    xr = jnp.matmul(frames, jnp.asarray(bc),
+                    precision=jax.lax.Precision.HIGHEST)
+    xi = jnp.matmul(frames, jnp.asarray(bs),
+                    precision=jax.lax.Precision.HIGHEST)
+    width = LANE + 2 * j_taps
+    k_sig = tmat.shape[-1] // LANE
+    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+                     band_map, k_sig)
+    outs = []
+    for f in range(nt):
+        xrs = xr[..., f * LANE:f * LANE + width]
+        xis = xi[..., f * LANE:f * LANE + width]
+        sre = jnp.matmul(xrs, tmat, precision=jax.lax.Precision.HIGHEST)
+        sim = jnp.matmul(xis, tmat, precision=jax.lax.Precision.HIGHEST)
+        outs.append(sre * sre + sim * sim)
+    p = jnp.concatenate(outs, axis=-1)              # (B, nfr, nt*K*128)
+    mel = jnp.matmul(p, fb_pad, precision=jax.lax.Precision.HIGHEST)
+    return mel[..., :n_mels]
+
+
+_specband_mel.defvjp(_specband_fwd, _specband_bwd)
+
+
+def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
+                       n_mels: int, sample_rate: int, f_min: float = 0.0,
+                       f_max: float | None = None,
+                       j_taps: int = SPECGEMM_J_TAPS,
+                       interpret: bool = False):
+    """Fused specband mel power spectrogram: ``(B, n_mels, n_frames)``.
+
+    ``window`` must be symmetric about ``n_fft/2`` (the Gaussian
+    window is); the lambda gradient flows through
+    :func:`window_taps_sym` -> :func:`band_matrix` -> the kernel's dT
+    adjoint.  Truncation validity is the caller's responsibility
+    (stft.specgemm_ok).
+    """
+    if f_max is None:
+        f_max = sample_rate // 2
+    if window.shape[-1] != n_fft:
+        raise ValueError("specband requires win_length == n_fft")
+    if not supported(n_fft, hop_length, n_mels, j_taps):
+        raise ValueError("unsupported geometry for the specband kernel; "
+                         "gate with specband_dmel.supported")
+    b_shape = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    rho = window_taps_sym(window, n_fft, j_taps)
+    tmat = band_matrix(rho, j_taps)
+    key = (n_mels, sample_rate, float(f_min), float(f_max))
+    mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
+                        interpret)
+    mel = jnp.swapaxes(mel, -1, -2)
+    return mel.reshape(b_shape + mel.shape[-2:])
+
+
+def specband_mel_power_multi(x, windows, band_map, *, n_fft: int,
+                             hop_length: int, n_mels: int,
+                             sample_rate: int, f_min: float = 0.0,
+                             f_max: float | None = None,
+                             j_taps: int = SPECGEMM_J_TAPS,
+                             interpret: bool = False):
+    """Multi-sigma fused specband mel: ``(B, n_mels, n_frames)``.
+
+    ``windows`` is ``(K, n_fft)`` (one symmetric window per sigma
+    group) and ``band_map`` maps each mel band to its group (cf.
+    :func:`dmel_tpu.ops.dmel.multi_sigma_mel_spectrogram`).  All K
+    sigmas SHARE the single in-kernel sliding-DFT spectra pass — the
+    expensive part — so the marginal cost per extra sigma is one banded
+    GEMM per output tile, not a full spectrogram.  Every lambda must
+    satisfy the truncation guard (stft.specgemm_ok); gate outside jit.
+    """
+    if f_max is None:
+        f_max = sample_rate // 2
+    k_sig = windows.shape[0]
+    if windows.shape[-1] != n_fft:
+        raise ValueError("specband requires win_length == n_fft")
+    if not supported(n_fft, hop_length, n_mels, j_taps):
+        raise ValueError("unsupported geometry for the specband kernel; "
+                         "gate with specband_dmel.supported")
+    if k_sig * LANE > 1024:
+        raise ValueError("too many sigma groups for one VMEM tile row")
+    b_shape = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    rhos = jax.vmap(lambda w: window_taps_sym(w, n_fft, j_taps))(windows)
+    tmat = jnp.concatenate(
+        [band_matrix(rhos[k], j_taps) for k in range(k_sig)], axis=1)
+    key = (n_mels, sample_rate, float(f_min), float(f_max),
+           tuple(int(v) for v in np.asarray(band_map)))
+    mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
+                        interpret)
+    mel = jnp.swapaxes(mel, -1, -2)
+    return mel.reshape(b_shape + mel.shape[-2:])

@@ -18,6 +18,7 @@ re-implements those exact semantics TPU-first:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -276,21 +277,32 @@ _SPECGEMM_BLOCK = 128
 
 
 def specgemm_ok(lambd_value: float, window_length: int, n_fft: int,
-                hop_length: int = 1) -> bool:
+                hop_length: int = 1,
+                j_taps: int = SPECGEMM_J_TAPS) -> bool:
     """Static dispatch guard for the specgemm path.
 
-    The J-truncated window spectrum is parity-exact (<=1e-5 class
-    truncation error) only while the Gaussian's endpoint value
-    ``exp(-0.5*(win/(2 lambd))^2)`` stays at or below the ``win = 8
-    lambda`` level (scripts/study_specgemm.py); above that the truncated
-    window's Dirichlet sidelobes leak.  ``lambd`` is traced inside jit,
-    so the caller decides *outside* jit — the same mechanism as the
-    power-of-2 window bucket (spectrogram.py) — and recompiles when the
-    boundary is crossed.
+    Two-sided lambda validity window (measured,
+    scripts/study_specgemm.py + scripts/validate_specband.py):
+
+    - **Upper bound** ``8 |lambd| <= win``: above it the Gaussian's
+      endpoint value ``exp(-0.5*(win/(2 lambd))^2)`` is large, the
+      truncated window's Dirichlet sidelobes leak, and the J-tap
+      spectrum is no longer parity-exact.
+    - **Lower bound** ``2 pi |lambd| J >= 5 n_fft``: the window
+      spectrum's Gaussian width is ``sigma_f = n_fft / (2 pi lambd)``
+      bins, and J taps must cover >= ~5 sigma_f (measured: 4.7 sigma_f
+      gives 5.5e-5 log-mel err, 3.5 sigma_f gives 7e-3 — the
+      truncation tail blows the 1e-4 budget below ~4.7).
+
+    ``lambd`` is traced inside jit, so the caller decides *outside*
+    jit — the same mechanism as the power-of-2 window bucket
+    (spectrogram.py) — and recompiles when the boundary is crossed.
     """
     if window_length != n_fft or n_fft >= DEVICE_BASIS_MIN_N_FFT:
         return False  # padded-window / long-FFT cases keep other paths
-    return 8.0 * abs(float(lambd_value)) <= window_length
+    lam = abs(float(lambd_value))
+    return (8.0 * lam <= window_length
+            and 2.0 * math.pi * lam * j_taps >= 5.0 * n_fft)
 
 
 def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,

@@ -167,18 +167,31 @@ def fit(config: dict, trainset, validset, *,
     def bucket_for(lambd_value):
         return (optimized_window_length(lambd_value) if optimized else None)
 
-    # --- model/step-fn cache keyed by window bucket -----------------
+    def hint_for(wl, lambd_value):
+        """Canonical static lambd_hint for the specband kernel gate:
+        ``wl/8`` whenever the current lambda sits inside the truncation
+        window (one compile per bucket, not per lambda value); None
+        keeps the framed-kernel/XLA path."""
+        if config.get("impl") != "pallas" or wl is None:
+            return None
+        from dmel_tpu.ops.stft import specgemm_ok
+        if specgemm_ok(lambd_value, wl, wl, int(config["hop_length"])):
+            return wl / 8.0
+        return None
+
+    # --- model/step-fn cache keyed by (window bucket, specband hint) --
     step_cache: dict = {}
 
-    def steps_for(wl):
-        if wl not in step_cache:
-            model = get_model_by_config(config, window_length=wl)
-            step_cache[wl] = (
+    def steps_for(wl, hint=None):
+        if (wl, hint) not in step_cache:
+            model = get_model_by_config(config, window_length=wl,
+                                        lambd_hint=hint)
+            step_cache[(wl, hint)] = (
                 model,
                 make_train_step(model, optimizer, one_hot, n_classes),
                 make_eval_step(model, one_hot, n_classes),
             )
-        return step_cache[wl]
+        return step_cache[(wl, hint)]
 
     # --- init --------------------------------------------------------
     init_wl = bucket_for(float(config["init_lambd"]))
@@ -225,8 +238,10 @@ def fit(config: dict, trainset, validset, *,
     patience_count = 0
 
     for epoch in range(max_epochs):
-        wl = bucket_for(current_lambd(params))
-        model, train_step, eval_step = steps_for(wl)
+        lam_now = current_lambd(params)
+        wl = bucket_for(lam_now)
+        hint = hint_for(wl, lam_now)
+        model, train_step, eval_step = steps_for(wl, hint)
 
         # --- train epoch ---------------------------------------------
         # Metrics stay on device all epoch (async dispatch, no host
@@ -239,10 +254,12 @@ def fit(config: dict, trainset, validset, *,
                 # reference-exact per-step bucket re-selection requires
                 # reading lambd back each step (one sync); the default
                 # 'epoch' mode has no per-step host reads.
-                new_wl = bucket_for(current_lambd(params))
-                if new_wl != wl:
-                    wl = new_wl
-                    model, train_step, eval_step = steps_for(wl)
+                lam_now = current_lambd(params)
+                new_wl = bucket_for(lam_now)
+                new_hint = hint_for(new_wl, lam_now)
+                if (new_wl, new_hint) != (wl, hint):
+                    wl, hint = new_wl, new_hint
+                    model, train_step, eval_step = steps_for(wl, hint)
             params, opt_state, batch_stats, rng, m = train_step(
                 params, opt_state, batch_stats, rng,
                 place(xs), place(ys), place(mask))

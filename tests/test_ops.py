@@ -303,6 +303,11 @@ class TestSpecGemm:
         assert not specgemm_ok(65.0, 512, 512)       # above the boundary
         assert not specgemm_ok(10.0, 128, 256)       # win != n_fft
         assert not specgemm_ok(200.0, 2048, 2048)    # long-FFT regime
+        # lower bound: J taps must cover ~5 sigma_f of the window
+        # spectrum (measured 1.07 log-mel err at lambda=16, n_fft=1024)
+        assert not specgemm_ok(16.0, 1024, 1024)
+        assert not specgemm_ok(30.0, 1024, 1024)     # 4.4 sigma_f: out
+        assert specgemm_ok(40.0, 1024, 1024)         # 5.9 sigma_f: in
 
     def test_win_mismatch_raises(self, rng):
         from dmel_tpu.ops.stft import stft_power_specgemm

@@ -227,3 +227,127 @@ class TestFramedKernel:
             ops.mel_spectrogram(x, 32.0, impl="pallas_framed", n_mels=32,
                                 sample_rate=8000, hop_length=7,
                                 optimized=True, window_length=256)
+
+
+class TestSpecbandKernel:
+    """Sliding-DFT + banded-window fused kernel
+    (ops/pallas/specband_dmel.py), interpret mode: forward parity vs
+    the exact GEMM path inside the specgemm truncation window, lambda
+    gradient (all-bf16 adjoint class, see module docstring), dx
+    adjoint, dispatch gating."""
+
+    @pytest.mark.parametrize("hop,n_fft,lam", [(16, 256, 24.0),
+                                               (40, 256, 32.0),
+                                               (32, 384, 40.0)])
+    def test_forward_matches_exact(self, rng, hop, n_fft, lam):
+        from dmel_tpu.ops.pallas import specband_dmel
+        from dmel_tpu.ops.stft import specgemm_ok
+        assert specgemm_ok(lam, n_fft, n_fft, hop)
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+        w = ops.gaussian_window(lam, n_fft)
+        mel = specband_dmel.specband_mel_power(
+            x, w, n_fft=n_fft, hop_length=hop, n_mels=32,
+            sample_rate=8000, interpret=True)
+        ref = ops.mel_spectrogram(
+            x, lam, n_mels=32, sample_rate=8000, hop_length=hop,
+            optimized=True, window_length=n_fft, method="matmul",
+            subtract_mean=False)
+        assert mel.shape == ref.shape
+        err = float(jnp.max(jnp.abs(jnp.log(mel + 1e-10)
+                                    - jnp.log(ref + 1e-10))))
+        assert err < 1e-4, (hop, n_fft, err)
+
+    def test_grads(self, rng):
+        from dmel_tpu.ops.pallas import specband_dmel
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+
+        def loss(l, xx, kernel):
+            if kernel:
+                mel = specband_dmel.specband_mel_power(
+                    xx, ops.gaussian_window(l, 256), n_fft=256,
+                    hop_length=16, n_mels=32, sample_rate=8000,
+                    interpret=True)
+            else:
+                mel = ops.mel_spectrogram(
+                    xx, l, n_mels=32, sample_rate=8000, hop_length=16,
+                    optimized=True, window_length=256, method="matmul",
+                    subtract_mean=False, abs_lambd=False)
+            return jnp.log(mel + 1e-10).sum()
+
+        g_ref = float(jax.grad(loss)(jnp.float32(24.0), x, False))
+        g_k = float(jax.grad(loss)(jnp.float32(24.0), x, True))
+        # all-bf16 adjoint GEMMs: systematic quantization bias through
+        # the quadratic |S|^2 chain lands in the 1e-3 band (measured;
+        # the tight-gradient alternative is the framed kernel)
+        assert abs(g_k - g_ref) < 2e-2 * abs(g_ref)
+        gx_ref = jax.grad(loss, argnums=1)(jnp.float32(24.0), x, False)
+        gx_k = jax.grad(loss, argnums=1)(jnp.float32(24.0), x, True)
+        # dx goes through the f32 XLA rebuild: tight
+        assert float(jnp.max(jnp.abs(gx_k - gx_ref))
+                     / jnp.max(jnp.abs(gx_ref))) < 1e-4
+
+    def test_supported_guard(self):
+        from dmel_tpu.ops.pallas import specband_dmel
+        assert specband_dmel.supported(1024, 80, 64)
+        assert not specband_dmel.supported(1000, 80, 64)  # non-lane n_fft
+        assert not specband_dmel.supported(1024, 7, 64)   # G = 128 > 16
+        assert not specband_dmel.supported(4096, 80, 64)  # too large
+        assert not specband_dmel.supported(256, 160, 64)  # hop > n_fft/2
+
+    def test_multi_sigma_shared_spectra(self, rng):
+        """K sigmas through one kernel pass match the XLA multi-sigma
+        path (features to 1e-4, per-sigma grads to the bf16-adjoint
+        band), driven through the public multi_sigma dispatch."""
+        from dmel_tpu.ops import dmel
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        lams = jnp.asarray([20.0, 26.0, 32.0])
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256, subtract_mean=False,
+                  abs_lambd=False)
+        ref = dmel.multi_sigma_mel_spectrogram(x, lams, method="matmul",
+                                               **kw)
+        got = dmel.multi_sigma_mel_spectrogram(
+            x, lams, impl="pallas", lambd_hint=[20.0, 26.0, 32.0], **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                    - jnp.log(ref + 1e-10))))
+        # bf16x3-class quantization at this tiny geometry lands just
+        # over the 1e-4 line (1.3e-4 measured); the production-geometry
+        # 1e-4 gate is enforced in-run by bench.py's torch oracle.
+        assert err < 2e-4, err
+
+        def loss(ls, impl, hint):
+            m = dmel.multi_sigma_mel_spectrogram(x, ls, impl=impl,
+                                                 lambd_hint=hint,
+                                                 method="matmul", **kw)
+            return jnp.log(m + 1e-10).sum()
+
+        g_k = jax.grad(loss)(lams, "pallas", [20.0, 26.0, 32.0])
+        g_r = jax.grad(loss)(lams, "xla", None)
+        rel = jnp.abs(g_k - g_r) / jnp.maximum(jnp.abs(g_r), 1e-6)
+        assert float(jnp.max(rel)) < 5e-2, (g_k, g_r)
+
+    def test_dispatch_lambd_hint(self, rng):
+        """impl="pallas" + in-window lambd_hint resolves to the
+        specband kernel; out-of-window hints fall back to framed; the
+        explicit impl raises on bad geometry."""
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256)
+        want = ops.mel_spectrogram(x, -24.0, method="matmul", **kw)
+        got = ops.mel_spectrogram(x, -24.0, impl="pallas",
+                                  lambd_hint=-24.0, **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                    - jnp.log(want + 1e-10))))
+        assert err < 1e-4, err
+        # lambda outside the truncation window: framed fallback stays
+        # parity-exact where specband's truncated taps would not be
+        got_small = ops.mel_spectrogram(x, 6.0, impl="pallas",
+                                        lambd_hint=6.0, **kw)
+        want_small = ops.mel_spectrogram(x, 6.0, method="matmul", **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(got_small + 1e-10)
+                                    - jnp.log(want_small + 1e-10))))
+        assert err < 1e-4, err
+        with pytest.raises(ValueError):
+            ops.mel_spectrogram(x, 24.0, impl="pallas_specband",
+                                n_mels=32, sample_rate=8000, hop_length=7,
+                                optimized=True, window_length=256)
