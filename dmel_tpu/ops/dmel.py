@@ -83,9 +83,11 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             win_length = t
             n_fft = 2 * t
         use_specband = False
+        sb_taps = None
         if impl in ("pallas", "pallas_specband"):
             from dmel_tpu.ops.pallas import specband_dmel
-            from dmel_tpu.ops.stft import specgemm_ok
+            from dmel_tpu.ops.stft import (SPECGEMM_J_TAPS, specgemm_ok,
+                                           specband_j_taps)
             geom_ok = (win_length == n_fft and
                        specband_dmel.supported(n_fft, hop_length, n_mels))
             if impl == "pallas_specband":
@@ -98,6 +100,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 use_specband = (geom_ok and lambd_hint is not None
                                 and specgemm_ok(lambd_hint, win_length,
                                                 n_fft, hop_length))
+            # adaptive tap count: large lambdas (narrow window spectra)
+            # contract fewer band columns — J is static, derived from
+            # the same hint that gated the dispatch
+            sb_taps = (specband_j_taps(lambd_hint, n_fft)
+                       if lambd_hint is not None else None)
+            if sb_taps is None:
+                sb_taps = SPECGEMM_J_TAPS
         if use_specband:
             from dmel_tpu.ops.pallas import specband_dmel
             from dmel_tpu.ops.window import gaussian_window
@@ -105,7 +114,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             return specband_dmel.specband_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
-                interpret=not fused_dmel._on_tpu())
+                j_taps=sb_taps, interpret=not fused_dmel._on_tpu())
         use_framed = (impl not in ("pallas_fused",) and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
         if impl == "pallas_framed" and not use_framed:
@@ -199,7 +208,7 @@ def multi_sigma_mel_spectrogram(
 
     if impl == "pallas" and optimized and window_length is not None:
         from dmel_tpu.ops.pallas import fused_dmel, specband_dmel
-        from dmel_tpu.ops.stft import specgemm_ok
+        from dmel_tpu.ops.stft import specgemm_ok, specband_j_taps
         from dmel_tpu.ops.window import gaussian_window
         wl = int(window_length)
         hints = (None if lambd_hint is None
@@ -209,13 +218,17 @@ def multi_sigma_mel_spectrogram(
                 and specband_dmel.supported(wl, hop_length, n_mels)
                 and all(specgemm_ok(h, wl, wl, hop_length)
                         for h in hints)):
+            # all K sigma groups share one tmat width: J must cover the
+            # widest (smallest-lambda) group's spectrum
+            sb_taps = max(specband_j_taps(h, wl) for h in hints)
             windows = jax.vmap(
                 lambda l: gaussian_window(l, wl, norm=normalize_window)
             )(lambds)
             return specband_dmel.specband_mel_power_multi(
                 x, windows, band_map, n_fft=wl, hop_length=hop_length,
                 n_mels=n_mels, sample_rate=sample_rate, f_min=f_min,
-                f_max=f_max, interpret=not fused_dmel._on_tpu())
+                f_max=f_max, j_taps=sb_taps,
+                interpret=not fused_dmel._on_tpu())
 
     def one_sigma(lambd):
         return spectrogram(x, lambd, optimized=optimized,

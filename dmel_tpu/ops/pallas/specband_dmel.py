@@ -38,7 +38,16 @@ four complex GEMM passes.  This kernel fixes both:
 Parity contract: same math as the reference's autograd chain, gated by
 interpret-mode tests vs the exact GEMM path and by bench.py's in-run
 torch-oracle check on hardware.  Truncation to J taps is governed by
-the same guard as the XLA path (stft.specgemm_ok: 8|lambda| <= win).
+the same guard as the XLA path (stft.specgemm_ok: two-sided lambda
+window), with an adaptive tap ladder (stft.specband_j_taps).
+
+Measured accuracy class (log-mel max-abs vs the exact f32 GEMM path):
+~1e-4 at the production geometries (n_fft >= 1024, g <= 8 recurrence
+phases — 9.7e-5 in-run at the bench config), degrading to ~3e-4 at
+small n_fft with g = 16 phases (n_fft=256, hop=40) where the bf16x3
+delta-GEMM quantization accumulates over more recurrence steps.  The
+tight-parity alternative at any geometry is the framed kernel
+(framed_dmel.py, 3.6e-5).
 """
 
 from __future__ import annotations
@@ -85,9 +94,19 @@ def _plan(n_fft: int, hop_length: int, j_taps: int):
     n_bins = n_fft // 2 + 1
     k_ext = n_bins + 2 * j_taps            # bins -J .. n_bins-1+J
     nt = -(-n_bins // LANE)                # output bin tiles
-    kpad = _round_up(max(k_ext, (nt - 1) * LANE + LANE + 2 * j_taps),
-                     LANE)
-    return g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad
+    # Nyquist split: for pow-2 n_fft the last tile holds ONE valid bin
+    # (n_bins % 128 == 1); that bin is a VPU tap-reduction instead of a
+    # GEMM tile, and kpad shrinks with it (less spectra GEMM output +
+    # residual traffic).  The nyq slice reads cols [nt_g*LANE,
+    # nt_g*LANE + LANE) — lane-aligned because c0 = n_bins-1 = nt_g*128.
+    nyq = (n_bins % LANE) == 1
+    nt_g = nt - 1 if nyq else nt           # GEMM-covered bin tiles
+    width = LANE + 2 * j_taps
+    cols = [k_ext, (nt_g - 1) * LANE + width]
+    if nyq:
+        cols.append((nt_g + 1) * LANE)
+    kpad = _round_up(max(cols), LANE)
+    return g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq, nt_g
 
 
 @functools.lru_cache(maxsize=16)
@@ -147,9 +166,10 @@ def _dot3(a32, bhi, blo, col=None):
 
 def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 dchi_ref, dclo_ref, dshi_ref, dslo_ref, rotr_ref,
-                roti_ref, thi_ref, tlo_ref, fb_ref,
+                roti_ref, thi_ref, tlo_ref, fb_ref, tn_ref, fbn_ref,
                 mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr, hop_length,
-                n_fft, hop_ext, nt, kpad, j_taps, k_sig, interpret):
+                n_fft, hop_ext, nt_g, nyq, kpad, j_taps, k_sig,
+                interpret):
     f32 = jnp.float32
     xg = xg_ref[0]
 
@@ -193,7 +213,7 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # pre-masked per sigma group (rows ordered (tile, sigma, lane)).
     width = LANE + 2 * j_taps
     mel_acc = None
-    for f in range(nt):
+    for f in range(nt_g):
         xrs = xr_scr[:, f * LANE:f * LANE + width]
         xis = xi_scr[:, f * LANE:f * LANE + width]
         sre = _dot3(xrs, thi_ref[:], tlo_ref[:])
@@ -203,18 +223,31 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=f32)
         mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
+    if nyq:
+        # Nyquist bin via VPU tap-reduction (f32 — tighter than the
+        # bf16x3 GEMM tiles): S[c0] = sum_u X'[:, c0+u] tn[u], where
+        # tn[u] = rho[2J-u] (column 0 of the tile-(nt_g) band block)
+        c0 = nt_g * LANE
+        xr_sl = xr_scr[:, c0:c0 + LANE]
+        xi_sl = xi_scr[:, c0:c0 + LANE]
+        for k in range(k_sig):
+            tn = tn_ref[k, :][None, :]
+            sre = jnp.sum(xr_sl * tn, axis=1, keepdims=True)
+            sim = jnp.sum(xi_sl * tn, axis=1, keepdims=True)
+            p = sre * sre + sim * sim                       # (ROWS, 1)
+            mel_acc = mel_acc + p * fbn_ref[k, :][None, :]
     mel_ref[0] = mel_acc
 
 
-def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, dt_ref, *,
-                nt, kpad, j_taps, k_sig):
+def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
+                dt_ref, *, nt_g, nyq, kpad, j_taps, k_sig):
     f32 = jnp.float32
     bf = jnp.bfloat16
     width = LANE + 2 * j_taps
     dmel = dmel_ref[0]
     dt_acc = jnp.zeros((width, k_sig * LANE), f32)
     dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
-    for f in range(nt):
+    for f in range(nt_g):
         xrs = xres_ref[0, :, f * LANE:f * LANE + width]
         xis = xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
         dp = jnp.dot(dmel, fbt_ref[:, pl.ds(f * k_sig * LANE,
@@ -229,12 +262,36 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, dt_ref, *,
             xrs, dsre, dims, preferred_element_type=f32)
         dt_acc = dt_acc + jax.lax.dot_general(
             xis, dsim, dims, preferred_element_type=f32)
+    if nyq:
+        # dT[u, k*LANE] += sum_r X'[r, c0+u] * 2 S_nyq[r] dp_nyq[r];
+        # the contribution lands in ONE column per sigma block, written
+        # via an iota mask (VPU outer product, no lane scatter)
+        c0 = nt_g * LANE
+        xr_sl = xres_ref[0, :, c0:c0 + LANE].astype(f32)
+        xi_sl = xres_ref[0, :, kpad + c0:kpad + c0 + LANE].astype(f32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, k_sig * LANE), 1)
+        for k in range(k_sig):
+            tn = tn_ref[k, :][None, :]
+            dp = jnp.sum(dmel * fbn_ref[k, :][None, :], axis=1,
+                         keepdims=True)                     # (ROWS, 1)
+            sre = jnp.sum(xr_sl * tn, axis=1, keepdims=True)
+            sim = jnp.sum(xi_sl * tn, axis=1, keepdims=True)
+            dvec = (jax.lax.dot_general(                    # (LANE, 1)
+                        xr_sl, 2.0 * sre * dp, dims,
+                        preferred_element_type=f32)
+                    + jax.lax.dot_general(
+                        xi_sl, 2.0 * sim * dp, dims,
+                        preferred_element_type=f32))
+            dvec = jnp.concatenate(
+                [dvec, jnp.zeros((width - LANE, 1), f32)], axis=0)
+            mask = (col == k * LANE).astype(f32)
+            dt_acc = dt_acc + dvec * mask
     dt_ref[0, 0] = dt_acc
 
 
 def _xg_layout(x, n_fft, hop_length, j_taps):
-    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
-     kpad) = _plan(n_fft, hop_length, j_taps)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
+     nt_g) = _plan(n_fft, hop_length, j_taps)
     b, t = x.shape
     nfr = num_frames(t, hop_length)
     ngrp = -(-nfr // g)
@@ -289,6 +346,9 @@ def _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
     lane); for K > 1 each sigma's copy is masked to its mel bands."""
     fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
                          sample_rate)
+    # with the Nyquist split, nt counts GEMM-covered tiles only — the
+    # truncated last row (bin nt*LANE) is handled by _fb_nyq instead
+    fb = fb[:nt * LANE]
     fb = jnp.pad(fb, ((0, nt * LANE - fb.shape[0]),
                       (0, MEL_PAD - n_mels)))
     if k_sig == 1:
@@ -300,6 +360,26 @@ def _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
     return fb4.reshape(nt * k_sig * LANE, MEL_PAD)
 
 
+def _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max,
+            band_map=None, k_sig=1):
+    """(k_sig, MEL_PAD) filterbank row of the Nyquist bin, per-sigma
+    masked for K > 1 (cf. :func:`_fb_pad`)."""
+    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
+                         sample_rate)
+    row = jnp.pad(fb[-1], (0, MEL_PAD - n_mels))
+    if k_sig == 1:
+        return row[None, :]
+    sel = jax.nn.one_hot(jnp.asarray(band_map), k_sig, dtype=fb.dtype)
+    sel = jnp.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))  # (MEL_PAD, K)
+    return sel.T * row[None, :]
+
+
+def _taps_nyq(tmat, k_sig):
+    """(k_sig, LANE) Nyquist tap rows tn[k, u] = rho_k[2J - u]: column
+    0 of each sigma's band block (zero beyond u = 2J)."""
+    return jnp.stack([tmat[:LANE, k * LANE] for k in range(k_sig)])
+
+
 def _mel_key_parts(mel_key):
     n_mels, sample_rate, f_min, f_max = mel_key[:4]
     band_map = mel_key[4] if len(mel_key) > 4 else None
@@ -308,8 +388,8 @@ def _mel_key_parts(mel_key):
 
 def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
-    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
-     kpad) = _plan(n_fft, hop_length, j_taps)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
+     nt_g) = _plan(n_fft, hop_length, j_taps)
     b, t = x.shape
     xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps)
     bc, bs = _bases_np(n_fft, j_taps, kpad)
@@ -321,14 +401,17 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     rr, ri = _rot_np(n_fft, hop_length, j_taps, kpad)
     thi, tlo = _split_hi_lo(tmat)
     k_sig = tmat.shape[-1] // LANE
-    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+    fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
+    tapsn = _taps_nyq(tmat, k_sig)
+    fbn = _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max, band_map,
+                  k_sig)
     width = LANE + 2 * j_taps
 
     kern = functools.partial(
         _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
-        hop_ext=hop_ext, nt=nt, kpad=kpad, j_taps=j_taps, k_sig=k_sig,
-        interpret=interpret)
+        hop_ext=hop_ext, nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
+        k_sig=k_sig, interpret=interpret)
     const = lambda bi, ki: (0, 0)
     mel_pm, xres = pl.pallas_call(
         kern,
@@ -347,7 +430,9 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
             pl.BlockSpec((1, kpad), const),
             pl.BlockSpec((width, k_sig * LANE), const),
             pl.BlockSpec((width, k_sig * LANE), const),
-            pl.BlockSpec((nt * k_sig * LANE, MEL_PAD), const),
+            pl.BlockSpec((nt_g * k_sig * LANE, MEL_PAD), const),
+            pl.BlockSpec((k_sig, LANE), const),
+            pl.BlockSpec((k_sig, MEL_PAD), const),
         ],
         out_specs=[
             pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
@@ -364,7 +449,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
         ],
         interpret=interpret,
     )(xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
-      jnp.asarray(rr), jnp.asarray(ri), thi, tlo, fb_pad)
+      jnp.asarray(rr), jnp.asarray(ri), thi, tlo, fb_pad, tapsn, fbn)
 
     mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
               .transpose(0, 1, 3, 2, 4)
@@ -376,8 +461,8 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
                   residuals, dmel_fr):
     xres, tmat, x_primal, nfr, nblk = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
-    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
-     kpad) = _plan(n_fft, hop_length, j_taps)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
+     nt_g) = _plan(n_fft, hop_length, j_taps)
     b = xres.shape[0]
     width = LANE + 2 * j_taps
     k_sig = tmat.shape[-1] // LANE
@@ -387,11 +472,14 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
     dmel_pm = (dmel_pm.reshape(b, nblk, gr, g, MEL_PAD)
                .transpose(0, 1, 3, 2, 4)
                .reshape(b, nblk * ROWS, MEL_PAD))
-    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
+    fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
     fbt = jnp.swapaxes(fb_pad, 0, 1)
+    tapsn = _taps_nyq(tmat, k_sig)
+    fbn = _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max, band_map,
+                  k_sig)
 
-    kern = functools.partial(_bwd_kernel, nt=nt, kpad=kpad,
+    kern = functools.partial(_bwd_kernel, nt_g=nt_g, nyq=nyq, kpad=kpad,
                              j_taps=j_taps, k_sig=k_sig)
     const = lambda bi, ki: (0, 0)
     dt_part = pl.pallas_call(
@@ -401,14 +489,16 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
             pl.BlockSpec((1, ROWS, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
             pl.BlockSpec((width, k_sig * LANE), const),
-            pl.BlockSpec((MEL_PAD, nt * k_sig * LANE), const),
+            pl.BlockSpec((MEL_PAD, nt_g * k_sig * LANE), const),
+            pl.BlockSpec((k_sig, LANE), const),
+            pl.BlockSpec((k_sig, MEL_PAD), const),
         ],
         out_specs=pl.BlockSpec((1, 1, width, k_sig * LANE),
                                lambda bi, ki: (bi, ki, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nblk, width, k_sig * LANE),
                                        jnp.float32),
         interpret=interpret,
-    )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt)
+    )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn, fbn)
     dtmat = dt_part.sum(axis=(0, 1))
 
     # The x cotangent (dead-code eliminated unless requested): mel is
@@ -428,8 +518,12 @@ def _specband_xla_ref(x, tmat, n_fft, hop_length, j_taps, mel_key):
     banded matmul with tmat, power, mel.  Handles K > 1 sigma groups
     through the same concatenated tmat / masked-filterbank layout."""
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
-    (g, gr, hop_ext, l_row, n_bins, k_ext, nt,
-     kpad) = _plan(n_fft, hop_length, j_taps)
+    (g, gr, hop_ext, l_row, n_bins, k_ext, nt, _kpad, nyq,
+     nt_g) = _plan(n_fft, hop_length, j_taps)
+    # full-tile oracle: covers ALL nt tiles by GEMM (incl. the Nyquist
+    # tile the kernel splits off), so it needs its own column padding
+    kpad = _round_up(max(k_ext, (nt - 1) * LANE + LANE + 2 * j_taps),
+                     LANE)
     b, t = x.shape
     nfr = num_frames(t, hop_length)
     pad = n_fft // 2

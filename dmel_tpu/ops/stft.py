@@ -305,6 +305,27 @@ def specgemm_ok(lambd_value: float, window_length: int, n_fft: int,
             and 2.0 * math.pi * lam * j_taps >= 5.0 * n_fft)
 
 
+#: adaptive tap-count ladder for the fused specband kernel: the banded
+#: GEMMs contract LANE + 2J columns, so large lambdas (narrow window
+#: spectra) should run with fewer taps.  A small ladder (not a
+#: continuous J) keeps the number of compiled kernel variants bounded.
+SPECBAND_J_LADDER = (8, 16, SPECGEMM_J_TAPS)
+
+
+def specband_j_taps(lambd_value: float, n_fft: int) -> int | None:
+    """Smallest tap count on the ladder that keeps the J-truncated
+    window spectrum inside the parity budget for ``lambd_value``
+    (the >= ~5 sigma_f coverage rule of :func:`specgemm_ok`), or None
+    if even the largest J fails.  Static — decided outside jit from the
+    same ``lambd_hint`` that gates the specband dispatch; the training
+    loop's hint buckets make J part of the step-cache key."""
+    lam = abs(float(lambd_value))
+    for j in SPECBAND_J_LADDER:
+        if 2.0 * math.pi * lam * j >= 5.0 * n_fft:
+            return j
+    return None
+
+
 def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,
                  precision=jax.lax.Precision.HIGHEST):
     """Truncated spectrum of the (padded) window: ``(WR, WI)`` for taps

@@ -168,16 +168,23 @@ def fit(config: dict, trainset, validset, *,
         return (optimized_window_length(lambd_value) if optimized else None)
 
     def hint_for(wl, lambd_value):
-        """Canonical static lambd_hint for the specband kernel gate:
-        ``wl/8`` whenever the current lambda sits inside the truncation
-        window (one compile per bucket, not per lambda value); None
-        keeps the framed-kernel/XLA path."""
+        """Canonical static lambd_hint for the specband kernel gate.
+        Returns the lower lambda edge of the current adaptive-tap (J)
+        bucket whenever lambda sits inside the truncation window — one
+        compile per (window bucket, J bucket), not per lambda value;
+        None keeps the framed-kernel/XLA path."""
         if config.get("impl") != "pallas" or wl is None:
             return None
-        from dmel_tpu.ops.stft import specgemm_ok
-        if specgemm_ok(lambd_value, wl, wl, int(config["hop_length"])):
-            return wl / 8.0
-        return None
+        import math
+
+        from dmel_tpu.ops.stft import specgemm_ok, specband_j_taps
+        if not specgemm_ok(lambd_value, wl, wl,
+                           int(config["hop_length"])):
+            return None
+        j = specband_j_taps(lambd_value, wl)
+        # representative that maps back to the same J in the dispatch
+        # (1.001: guard against float rounding at the bucket edge)
+        return 1.001 * 5.0 * wl / (2.0 * math.pi * j)
 
     # --- model/step-fn cache keyed by (window bucket, specband hint) --
     step_cache: dict = {}

@@ -21,6 +21,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", type=int, default=24)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--impl", default="xla",
+                        help="front-end impl (xla | pallas); pallas "
+                        "auto-selects the specband kernel when lambda "
+                        "sits inside the truncation window")
     args = parser.parse_args()
 
     import jax
@@ -41,7 +45,7 @@ def main():
                resample_rate=8000, energy_normalize=True, augment=False,
                optimizer_name="adam", lr_model=1e-4, lr_tf=1.0,
                trainable=True, batch_size=args.batch_size, max_epochs=3,
-               patience=100)
+               patience=100, impl=args.impl)
 
     t0 = time.time()
     epoch_times = []

@@ -351,3 +351,24 @@ class TestSpecbandKernel:
             ops.mel_spectrogram(x, 24.0, impl="pallas_specband",
                                 n_mels=32, sample_rate=8000, hop_length=7,
                                 optimized=True, window_length=256)
+
+    def test_adaptive_taps(self, rng):
+        """Large lambdas (narrow window spectra) run with fewer band
+        taps — J is chosen statically from the hint, parity holds at
+        the smallest ladder rung."""
+        from dmel_tpu.ops.stft import specband_j_taps
+        assert specband_j_taps(128.0, 1024) == 8
+        assert specband_j_taps(64.0, 1024) == 16
+        assert specband_j_taps(40.0, 1024) == 24
+        assert specband_j_taps(30.0, 1024) is None  # below specgemm_ok
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        lam = 28.0                                  # J=8 at n_fft=256
+        assert specband_j_taps(lam, 256) == 8
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256)
+        want = ops.mel_spectrogram(x, lam, method="matmul", **kw)
+        got = ops.mel_spectrogram(x, lam, impl="pallas", lambd_hint=lam,
+                                  **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                    - jnp.log(want + 1e-10))))
+        assert err < 1.5e-4, err
