@@ -161,10 +161,14 @@ def log_mel_spectrogram(x: jnp.ndarray, lambd, **kwargs) -> jnp.ndarray:
     return accurate_log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)
 
 
-def default_band_map(n_mels: int, n_sigma: int) -> jnp.ndarray:
+def default_band_map(n_mels: int, n_sigma: int):
     """Contiguous assignment of mel bands to sigma groups: band j uses
-    sigma ``j * n_sigma // n_mels``."""
-    return (jnp.arange(n_mels) * n_sigma) // n_mels
+    sigma ``j * n_sigma // n_mels``.  Returned as a STATIC numpy array
+    — the map parameterizes kernel/filterbank construction at trace
+    time (a jnp array would become a tracer under jit and break the
+    static specband dispatch)."""
+    import numpy as _np
+    return (_np.arange(n_mels) * n_sigma) // n_mels
 
 
 def multi_sigma_mel_spectrogram(
@@ -211,9 +215,12 @@ def multi_sigma_mel_spectrogram(
         from dmel_tpu.ops.stft import specgemm_ok, specband_j_taps
         from dmel_tpu.ops.window import gaussian_window
         wl = int(window_length)
+        # the hint is STATIC by contract — keep it in numpy: jnp ops on
+        # constants are staged under jit and float() would see tracers
+        import numpy as _np
         hints = (None if lambd_hint is None
-                 else [float(h) for h in jnp.atleast_1d(
-                     jnp.asarray(lambd_hint, jnp.float32))])
+                 else [float(h) for h in _np.atleast_1d(
+                     _np.asarray(lambd_hint, dtype=_np.float32))])
         if (hints is not None
                 and specband_dmel.supported(wl, hop_length, n_mels)
                 and all(specgemm_ok(h, wl, wl, hop_length)

@@ -66,7 +66,13 @@ from dmel_tpu.ops.stft import num_frames, SPECGEMM_J_TAPS
 
 LANE = 128
 MEL_PAD = 128
-ROWS = 256
+#: frames per kernel block.  512 doubles the phase-0 base-GEMM row
+#: fill vs 256 (gr = ROWS/g rows feed the MXU; +5% end-to-end,
+#: measured) and stays under the 16 MB scoped VMEM for K = 1; the
+#: multi-sigma kernel's K-wide band intermediates need the smaller
+#: block (K = 3 at ROWS = 512 measured 1.5 MB over).
+ROWS = 512
+ROWS_MULTI = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,17 +82,22 @@ def _round_up(x: int, m: int) -> int:
 def supported(n_fft: int, hop_length: int, n_mels: int,
               j_taps: int = SPECGEMM_J_TAPS) -> bool:
     """Static geometry guard (the lambda-value guard is
-    stft.specgemm_ok, decided by the caller outside jit)."""
+    stft.specgemm_ok, decided by the caller outside jit).
+
+    n_fft is capped at 1024: at 2048 the four hi/lo-split DFT bases
+    alone (4 x n_fft x kpad bf16 ~ 19 MB) exceed the 16 MB scoped VMEM
+    (measured OOM on v5e) — consistent with stft.specgemm_ok, which
+    hands n_fft >= 2048 to the FFT/device-basis paths anyway."""
     g = LANE // gcd(hop_length, LANE)
     return (n_fft % LANE == 0 and g <= 16 and n_mels <= MEL_PAD
-            and n_fft <= 2048 and 2 * j_taps < LANE
+            and n_fft <= 1024 and 2 * j_taps < LANE
             and 2 * hop_length <= n_fft)  # center-pad coverage bound
 
 
 @functools.lru_cache(maxsize=16)
-def _plan(n_fft: int, hop_length: int, j_taps: int):
+def _plan(n_fft: int, hop_length: int, j_taps: int, rows: int = ROWS):
     g = LANE // gcd(hop_length, LANE)
-    gr = ROWS // g
+    gr = rows // g
     hop_ext = g * hop_length
     need = max((g - 1) * hop_length + n_fft,
                n_fft + (hop_ext if g > 1 else 0))
@@ -289,9 +300,9 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     dt_ref[0, 0] = dt_acc
 
 
-def _xg_layout(x, n_fft, hop_length, j_taps):
+def _xg_layout(x, n_fft, hop_length, j_taps, rows=ROWS):
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
     b, t = x.shape
     nfr = num_frames(t, hop_length)
     ngrp = -(-nfr // g)
@@ -388,10 +399,12 @@ def _mel_key_parts(mel_key):
 
 def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
+    k_sig = tmat.shape[-1] // LANE
+    rows = ROWS if k_sig == 1 else ROWS_MULTI
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
     b, t = x.shape
-    xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps)
+    xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps, rows)
     bc, bs = _bases_np(n_fft, j_taps, kpad)
     bchi, bclo = _split_hi_lo(jnp.asarray(bc))
     bshi, bslo = _split_hi_lo(jnp.asarray(bs))
@@ -400,7 +413,6 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     dshi, dslo = _split_hi_lo(jnp.asarray(ds))
     rr, ri = _rot_np(n_fft, hop_length, j_taps, kpad)
     thi, tlo = _split_hi_lo(tmat)
-    k_sig = tmat.shape[-1] // LANE
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
     tapsn = _taps_nyq(tmat, k_sig)
@@ -435,17 +447,17 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
             pl.BlockSpec((k_sig, MEL_PAD), const),
         ],
         out_specs=[
-            pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, ROWS, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nblk * ROWS, MEL_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((b, nblk * ROWS, 2 * kpad),
+            jax.ShapeDtypeStruct((b, nblk * rows, MEL_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, nblk * rows, 2 * kpad),
                                  jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, kpad), jnp.float32),
-            pltpu.VMEM((ROWS, kpad), jnp.float32),
+            pltpu.VMEM((rows, kpad), jnp.float32),
+            pltpu.VMEM((rows, kpad), jnp.float32),
         ],
         interpret=interpret,
     )(xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
@@ -453,7 +465,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
 
     mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
               .transpose(0, 1, 3, 2, 4)
-              .reshape(b, nblk * ROWS, MEL_PAD))[:, :nfr, :n_mels]
+              .reshape(b, nblk * rows, MEL_PAD))[:, :nfr, :n_mels]
     return mel_fr, (xres, tmat, x, nfr, nblk)
 
 
@@ -461,17 +473,18 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
                   residuals, dmel_fr):
     xres, tmat, x_primal, nfr, nblk = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
+    k_sig = tmat.shape[-1] // LANE
+    rows = ROWS if k_sig == 1 else ROWS_MULTI
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
     b = xres.shape[0]
     width = LANE + 2 * j_taps
-    k_sig = tmat.shape[-1] // LANE
     dmel_p = jnp.pad(dmel_fr, ((0, 0), (0, 0), (0, MEL_PAD - n_mels)))
-    dmel_pm = jnp.zeros((b, nblk * ROWS, MEL_PAD), dmel_p.dtype)
+    dmel_pm = jnp.zeros((b, nblk * rows, MEL_PAD), dmel_p.dtype)
     dmel_pm = dmel_pm.at[:, :nfr, :].set(dmel_p)
     dmel_pm = (dmel_pm.reshape(b, nblk, gr, g, MEL_PAD)
                .transpose(0, 1, 3, 2, 4)
-               .reshape(b, nblk * ROWS, MEL_PAD))
+               .reshape(b, nblk * rows, MEL_PAD))
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
     fbt = jnp.swapaxes(fb_pad, 0, 1)
@@ -486,8 +499,8 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
         kern,
         grid=(b, nblk),
         in_specs=[
-            pl.BlockSpec((1, ROWS, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, ROWS, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
             pl.BlockSpec((width, k_sig * LANE), const),
             pl.BlockSpec((MEL_PAD, nt_g * k_sig * LANE), const),
             pl.BlockSpec((k_sig, LANE), const),

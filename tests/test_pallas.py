@@ -352,6 +352,27 @@ class TestSpecbandKernel:
                                 n_mels=32, sample_rate=8000, hop_length=7,
                                 optimized=True, window_length=256)
 
+    def test_multi_sigma_under_jit(self, rng):
+        """The static lambd_hint/band_map plumbing must survive a jit
+        trace (regression: jnp constants become tracers under jit, so
+        hints/band_map have to stay numpy until the kernel call)."""
+        from dmel_tpu.ops import dmel
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        lams = jnp.asarray([20.0, 26.0, 32.0])
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256, subtract_mean=False,
+                  abs_lambd=False)
+
+        @jax.jit
+        def jitted(ls, xx):
+            return jax.grad(lambda l: jnp.log(
+                dmel.multi_sigma_mel_spectrogram(
+                    xx, l, impl="pallas", lambd_hint=[20.0, 26.0, 32.0],
+                    **kw) + 1e-10).sum())(ls)
+
+        g = jitted(lams, x)
+        assert g.shape == (3,) and bool(jnp.all(jnp.isfinite(g)))
+
     def test_adaptive_taps(self, rng):
         """Large lambdas (narrow window spectra) run with fewer band
         taps — J is chosen statically from the hint, parity holds at
