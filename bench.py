@@ -149,9 +149,14 @@ def check_parity(feat_fn, x_par, ref_feat, ref_grad):
     import jax
     import jax.numpy as jnp
     xj = jnp.asarray(x_par)
-    got = np.asarray(feat_fn(jnp.float32(LAMBD), xj))
+    # parity MUST go through jit: the certificate has to cover the
+    # same compiled executable the timing loop runs — eager and jitted
+    # numerics can differ (measured: an XLA excess-precision rewrite
+    # zeroed a bf16 hi/lo split's lo-correction under jit only,
+    # 9.7e-5 eager vs 1.3e-2 jitted before the in-kernel-split fix)
+    got = np.asarray(jax.jit(feat_fn)(jnp.float32(LAMBD), xj))
     feat_err = float(np.max(np.abs(got - ref_feat)))
-    g = float(jax.grad(lambda l, x: feat_fn(l, x).sum())(
+    g = float(jax.jit(jax.grad(lambda l, x: feat_fn(l, x).sum()))(
         jnp.float32(LAMBD), xj))
     grad_err = abs(g - ref_grad) / max(abs(ref_grad), 1e-30)
     return feat_err, grad_err

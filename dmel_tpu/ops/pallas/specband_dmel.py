@@ -175,12 +175,26 @@ def _dot3(a32, bhi, blo, col=None):
             + jnp.dot(ahi, bl, preferred_element_type=f32))
 
 
+def _dot4(a32, bhi, blo):
+    """bf16x4 GEMM (adds the lo*lo term): ~2^-24-class relative error
+    at 4/6 of HIGHEST's MXU passes.  Used where bf16x3's ~2^-16 slot
+    would eat too much of the 1e-4 parity budget (the mel GEMM:
+    bf16x3 there measured 1.03e-4 total vs torch — just over the
+    gate)."""
+    f32 = jnp.float32
+    ahi, alo = _split_hi_lo(a32)
+    return (jnp.dot(ahi, bhi, preferred_element_type=f32)
+            + jnp.dot(alo, bhi, preferred_element_type=f32)
+            + jnp.dot(ahi, blo, preferred_element_type=f32)
+            + jnp.dot(alo, blo, preferred_element_type=f32))
+
+
 def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 dchi_ref, dclo_ref, dshi_ref, dslo_ref, rotr_ref,
-                roti_ref, thi_ref, tlo_ref, fb_ref, tn_ref, fbn_ref,
-                mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr, hop_length,
-                n_fft, hop_ext, nt_g, nyq, kpad, j_taps, k_sig,
-                interpret):
+                roti_ref, tmat_ref, fbhi_ref, fblo_ref, tn_ref,
+                fbn_ref, mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr,
+                hop_length, n_fft, hop_ext, nt_g, nyq, kpad, j_taps,
+                k_sig, interpret):
     f32 = jnp.float32
     xg = xg_ref[0]
 
@@ -224,15 +238,24 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # pre-masked per sigma group (rows ordered (tile, sigma, lane)).
     width = LANE + 2 * j_taps
     mel_acc = None
+    # hi/lo-split the lambda-dependent taps IN-KERNEL: split in XLA,
+    # the terminal's --xla_allow_excess_precision=true lets the
+    # compiler elide the bf16 rounding of `hi` and zero the `lo`
+    # correction (measured: 9.7e-5 -> 1.3e-2 parity under jit with a
+    # traced lambda); Mosaic lowers the casts faithfully
+    thi, tlo = _split_hi_lo(tmat_ref[:])
     for f in range(nt_g):
         xrs = xr_scr[:, f * LANE:f * LANE + width]
         xis = xi_scr[:, f * LANE:f * LANE + width]
-        sre = _dot3(xrs, thi_ref[:], tlo_ref[:])
-        sim = _dot3(xis, thi_ref[:], tlo_ref[:])
+        sre = _dot3(xrs, thi, tlo)
+        sim = _dot3(xis, thi, tlo)
         p = sre * sre + sim * sim
-        mel_t = jnp.dot(p, fb_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :],
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=f32)
+        # explicit bf16x4 for the mel GEMM (Mosaic lowers only
+        # DEFAULT/HIGHEST; HIGHEST costs 6 passes, bf16x4 is
+        # ~2^-24-class — invisible under the bf16x3 spectra floor,
+        # where bf16x3 here measured just over the 1e-4 torch gate)
+        mel_t = _dot4(p, fbhi_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :],
+                      fblo_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :])
         mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
     if nyq:
         # Nyquist bin via VPU tap-reduction (f32 — tighter than the
@@ -261,9 +284,10 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     for f in range(nt_g):
         xrs = xres_ref[0, :, f * LANE:f * LANE + width]
         xis = xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
+        # dp feeds a bf16-cast product (dsre/dsim) — single-pass bf16
+        # is already below the adjoint's quantization class
         dp = jnp.dot(dmel, fbt_ref[:, pl.ds(f * k_sig * LANE,
                                             k_sig * LANE)],
-                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=f32)
         sre = jnp.dot(xrs, tbf_ref[:], preferred_element_type=f32)
         sim = jnp.dot(xis, tbf_ref[:], preferred_element_type=f32)
@@ -412,9 +436,12 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     dchi, dclo = _split_hi_lo(jnp.asarray(dc))
     dshi, dslo = _split_hi_lo(jnp.asarray(ds))
     rr, ri = _rot_np(n_fft, hop_length, j_taps, kpad)
-    thi, tlo = _split_hi_lo(tmat)
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
+    # fb is static (concrete under trace) so this split is computed
+    # eagerly and is NOT exposed to the excess-precision elision that
+    # bit the traced tmat split (see _fwd_kernel)
+    fbhi, fblo = _split_hi_lo(fb_pad)
     tapsn = _taps_nyq(tmat, k_sig)
     fbn = _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max, band_map,
                   k_sig)
@@ -441,7 +468,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
             pl.BlockSpec((1, kpad), const),
             pl.BlockSpec((1, kpad), const),
             pl.BlockSpec((width, k_sig * LANE), const),
-            pl.BlockSpec((width, k_sig * LANE), const),
+            pl.BlockSpec((nt_g * k_sig * LANE, MEL_PAD), const),
             pl.BlockSpec((nt_g * k_sig * LANE, MEL_PAD), const),
             pl.BlockSpec((k_sig, LANE), const),
             pl.BlockSpec((k_sig, MEL_PAD), const),
@@ -461,7 +488,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
         ],
         interpret=interpret,
     )(xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
-      jnp.asarray(rr), jnp.asarray(ri), thi, tlo, fb_pad, tapsn, fbn)
+      jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
 
     mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
               .transpose(0, 1, 3, 2, 4)

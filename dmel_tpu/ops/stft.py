@@ -306,23 +306,41 @@ def specgemm_ok(lambd_value: float, window_length: int, n_fft: int,
 
 
 #: adaptive tap-count ladder for the fused specband kernel: the banded
-#: GEMMs contract LANE + 2J columns, so large lambdas (narrow window
-#: spectra) should run with fewer taps.  A small ladder (not a
-#: continuous J) keeps the number of compiled kernel variants bounded.
-SPECBAND_J_LADDER = (8, 16, SPECGEMM_J_TAPS)
+#: GEMMs contract LANE + 2J columns, so mid-range lambdas (narrow,
+#: cleanly-decaying window spectra) can run with fewer taps.  A small
+#: ladder (not a continuous J) keeps the compiled-variant count
+#: bounded.
+SPECBAND_J_LADDER = (12, 16, SPECGEMM_J_TAPS)
+
+#: upper-lambda cutoff for the reduced-J rungs: the window spectrum is
+#: a GAUSSIAN only while the N-sample truncation endpoint
+#: ``exp(-0.5 (win / 2 lambda)^2)`` is negligible; above ~1e-5
+#: (lambda > win/9.6) the endpoint's slowly-decaying Dirichlet
+#: sidelobes dominate the tap tail and only the full J=24 stays inside
+#: the parity budget (measured at lambda = win/8: J=12 -> 1.07e-4 even
+#: with x4 GEMMs, J=24 -> 4.5e-5; J>24 buys nothing).
+_SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC = 1.0 / 9.6
 
 
 def specband_j_taps(lambd_value: float, n_fft: int) -> int | None:
     """Smallest tap count on the ladder that keeps the J-truncated
-    window spectrum inside the parity budget for ``lambd_value``
-    (the >= ~5 sigma_f coverage rule of :func:`specgemm_ok`), or None
-    if even the largest J fails.  Static — decided outside jit from the
-    same ``lambd_hint`` that gates the specband dispatch; the training
-    loop's hint buckets make J part of the step-cache key."""
+    window spectrum inside the parity budget for ``lambd_value``, or
+    None if even the largest J fails :func:`specgemm_ok`'s coverage
+    rule.  Two regimes (both measured, see constants above): reduced J
+    needs BOTH >= ~5 sigma_f Gaussian coverage AND a negligible
+    truncation endpoint; near the upper dispatch boundary
+    (win/9.6 < lambda <= win/8) only the full J qualifies.  Static —
+    decided outside jit from the same ``lambd_hint`` that gates the
+    specband dispatch; the training loop's hint buckets make J part of
+    the step-cache key."""
     lam = abs(float(lambd_value))
-    for j in SPECBAND_J_LADDER:
-        if 2.0 * math.pi * lam * j >= 5.0 * n_fft:
+    sidelobe_safe = lam <= _SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC * n_fft
+    for j in SPECBAND_J_LADDER[:-1]:
+        if sidelobe_safe and 2.0 * math.pi * lam * j >= 5.0 * n_fft:
             return j
+    j = SPECBAND_J_LADDER[-1]
+    if 2.0 * math.pi * lam * j >= 5.0 * n_fft:
+        return j
     return None
 
 

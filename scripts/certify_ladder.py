@@ -1,0 +1,119 @@
+"""Hardware parity certification across the specband dispatch window.
+
+The adaptive tap ladder (stft.specband_j_taps) picks J statically from
+lambd_hint; its two-regime rule (Gaussian-coverage lower bound + the
+endpoint-sidelobe upper cutoff at lambda ~ win/9.6) was calibrated at
+the bench point lambda=128.  This script certifies, ON HARDWARE and
+THROUGH JIT (cf. bench.py check_parity: eager and jitted numerics can
+differ), the full production dispatch path `impl="pallas"` at lambdas
+covering every ladder rung, both regime boundaries, and the fallback
+(framed-kernel) region outside the specgemm_ok window — each against a
+fresh torch-f32 oracle.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/certify_ladder.py
+Prints one line per lambda; exits non-zero if any gated case fails
+(features 1e-4, dlambda 1e-2 inside the specband window; the framed
+fallback is gated at 1e-4 / 1e-3).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = 4
+T = 40000
+SR = 8000
+N_FFT = 1024
+WIN = 1024
+HOP = 80
+N_MELS = 64
+
+# lambdas spanning the ladder: below-window fallback (13.3, 30), lower
+# dispatch edge (36), audio_mnist grid point (46.7), J=16 band (52,
+# 64, 85), J=12 band (90, 100, 106), sidelobe regime J=24 (110, 120,
+# 128), above-window fallback (200, 400 — the audio_mnist 0.3 point)
+LAMBDAS = [13.3, 30.0, 36.0, 46.7, 52.0, 64.0, 85.0, 90.0, 100.0,
+           106.0, 110.0, 120.0, 128.0, 200.0, 400.0]
+
+
+def torch_oracle(x_np, lambd):
+    import torch
+    from tests.reference_impl import np_melscale_fbanks
+
+    fb = torch.from_numpy(np_melscale_fbanks(
+        N_FFT // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
+    lam = torch.tensor(float(lambd), requires_grad=True)
+    outs = []
+    total = None
+    for i in range(x_np.shape[0]):
+        xi = torch.from_numpy(x_np[i])
+        xi = xi - xi.mean()
+        m = torch.arange(WIN).float()
+        w = torch.exp(-0.5 * ((m - WIN / 2) /
+                              (torch.abs(lam) + 1e-15)) ** 2)
+        s = torch.stft(xi, n_fft=N_FFT, hop_length=HOP, win_length=WIN,
+                       window=w, return_complex=True, pad_mode="constant")
+        s = torch.abs(s) ** 2
+        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
+        logmel = torch.log(mel + 1e-10)
+        outs.append(logmel.detach().numpy())
+        total = logmel.sum() if total is None else total + logmel.sum()
+    total.backward()
+    return np.stack(outs), float(lam.grad)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dmel_tpu import ops
+    from dmel_tpu.ops import stft as stft_mod
+    from dmel_tpu.ops.pallas import specband_dmel
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    print(f"backend: {backend}", file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(7)
+    x_np = rng.standard_normal((B, T)).astype(np.float32)
+    xj = jnp.asarray(x_np)
+
+    failures = []
+    for lam in LAMBDAS:
+        in_window = stft_mod.specgemm_ok(lam, WIN, N_FFT)
+        j = stft_mod.specband_j_taps(lam, N_FFT)
+        route = f"specband(J={j})" if (in_window and j) else "framed"
+        fgate, ggate = (1e-4, 1e-2) if (in_window and j) else (1e-4, 1e-3)
+
+        def feat(l, x, _lam=lam):
+            m = ops.mel_spectrogram(
+                x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
+                optimized=True, window_length=WIN, impl="pallas",
+                lambd_hint=_lam)
+            return ops.accurate_log(m + 1e-10)
+
+        ref_feat, ref_grad = torch_oracle(x_np, lam)
+        got = np.asarray(jax.jit(feat)(jnp.float32(lam), xj))
+        ferr = float(np.max(np.abs(got - ref_feat)))
+        g = float(jax.jit(jax.grad(lambda l, x: feat(l, x).sum()))(
+            jnp.float32(lam), xj))
+        gerr = abs(g - ref_grad) / max(abs(ref_grad), 1e-30)
+        ok = ferr <= fgate and gerr <= ggate
+        print(f"lambda={lam:7.1f} route={route:15s} "
+              f"logmel_err={ferr:.2e} (gate {fgate:.0e}) "
+              f"dlambda_rel={gerr:.2e} (gate {ggate:.0e}) "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(lam)
+
+    if failures:
+        print(f"FAILED lambdas: {failures}")
+        sys.exit(1)
+    print("all lambdas certified")
+
+
+if __name__ == "__main__":
+    main()

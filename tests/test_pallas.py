@@ -378,13 +378,17 @@ class TestSpecbandKernel:
         taps — J is chosen statically from the hint, parity holds at
         the smallest ladder rung."""
         from dmel_tpu.ops.stft import specband_j_taps
-        assert specband_j_taps(128.0, 1024) == 8
+        # endpoint-sidelobe regime (lambda > n_fft/9.6): full J only
+        assert specband_j_taps(128.0, 1024) == 24
+        assert specband_j_taps(110.0, 1024) == 24
+        # Gaussian regime: smallest rung with >= ~5 sigma_f coverage
+        assert specband_j_taps(90.0, 1024) == 12
         assert specband_j_taps(64.0, 1024) == 16
         assert specband_j_taps(40.0, 1024) == 24
         assert specband_j_taps(30.0, 1024) is None  # below specgemm_ok
         x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
-        lam = 28.0                                  # J=8 at n_fft=256
-        assert specband_j_taps(lam, 256) == 8
+        lam = 28.0                       # sidelobe regime at n_fft=256
+        assert specband_j_taps(lam, 256) == 24
         kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
                   optimized=True, window_length=256)
         want = ops.mel_spectrogram(x, lam, method="matmul", **kw)
