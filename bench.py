@@ -266,10 +266,13 @@ def main():
         "xla-specgemm-HIGHEST": xla_feat("specgemm"),
     }
     def framed_feat(l, x):
-        # in-kernel-framing fused kernel (ops/pallas/framed_dmel.py)
+        # in-kernel-framing fused kernel (ops/pallas/framed_dmel.py);
+        # the hint statically disables the low-bin fix at this
+        # lambda/n_fft ratio, as the production dispatch would
         m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
                                 hop_length=HOP, optimized=True,
-                                window_length=WIN, impl="pallas_framed")
+                                window_length=WIN, impl="pallas_framed",
+                                lambd_hint=LAMBD)
         return ops.accurate_log(m + 1e-10)
 
     def specband_feat(l, x):

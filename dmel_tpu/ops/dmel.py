@@ -84,6 +84,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             n_fft = 2 * t
         use_specband = False
         sb_taps = None
+        # low-bin precision fix: needed when the (static) lambda is
+        # small relative to n_fft (deep fades at the lowest mel bands
+        # amplify the bf16-split floor — stft.lowbin_fix_needed);
+        # correctness-first default ON when no hint is available
+        from dmel_tpu.ops.stft import lowbin_fix_needed
+        lb_fix = (lowbin_fix_needed(lambd_hint, n_fft)
+                  if lambd_hint is not None else True)
         if impl in ("pallas", "pallas_specband"):
             from dmel_tpu.ops.pallas import specband_dmel
             from dmel_tpu.ops.stft import (SPECGEMM_J_TAPS, specgemm_ok,
@@ -114,7 +121,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             return specband_dmel.specband_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
-                j_taps=sb_taps, interpret=not fused_dmel._on_tpu())
+                j_taps=sb_taps, lowbin_fix=lb_fix,
+                interpret=not fused_dmel._on_tpu())
         use_framed = (impl not in ("pallas_fused",) and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
         if impl == "pallas_framed" and not use_framed:
@@ -126,6 +134,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             return framed_dmel.framed_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
+                lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
         if n_fft > fused_dmel.MAX_N_FFT:
             # DFT basis (2 x n_fft x n_fft/2 floats) would blow VMEM
@@ -227,14 +236,16 @@ def multi_sigma_mel_spectrogram(
                         for h in hints)):
             # all K sigma groups share one tmat width: J must cover the
             # widest (smallest-lambda) group's spectrum
+            from dmel_tpu.ops.stft import lowbin_fix_needed
             sb_taps = max(specband_j_taps(h, wl) for h in hints)
+            lb_fix = any(lowbin_fix_needed(h, wl) for h in hints)
             windows = jax.vmap(
                 lambda l: gaussian_window(l, wl, norm=normalize_window)
             )(lambds)
             return specband_dmel.specband_mel_power_multi(
                 x, windows, band_map, n_fft=wl, hop_length=hop_length,
                 n_mels=n_mels, sample_rate=sample_rate, f_min=f_min,
-                f_max=f_max, j_taps=sb_taps,
+                f_max=f_max, j_taps=sb_taps, lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
 
     def one_sigma(lambd):

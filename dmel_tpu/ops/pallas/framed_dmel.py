@@ -126,11 +126,12 @@ def _alt_row(n_fft):
 
 
 def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
-                mel_ref, reim_ref, fwhi_ref, fwlo_ref, *, g, gr,
-                hop_length, n_fft, n_f, nyq_split, f_main, n_bins,
-                interpret):
+                fbhi_ref, fblo_ref, mel_ref, reim_ref, fwhi_ref,
+                fwlo_ref, *scr, g, gr, hop_length, n_fft, n_f,
+                nyq_split, f_main, n_bins, lowbin_fix, interpret):
     tiles = _build_frames(xg_ref[0], g, gr, hop_length, n_fft, interpret)
     alt = _alt_row(n_fft)
+    f32 = jnp.float32
     nyq_parts = []
     for c, fr in enumerate(tiles):
         fw = fr * w_ref[0, :]
@@ -139,10 +140,18 @@ def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
         hi, lo = _split_hi_lo(fw)
         fwhi_ref[c * gr:(c + 1) * gr, :] = hi
         fwlo_ref[c * gr:(c + 1) * gr, :] = lo
+        if lowbin_fix:
+            # third piece of a 3-way split (~2^-18 of fw): consumed by
+            # one extra bf16 pass on bin tile 0 below — the deep-fade
+            # lowest mel bands amplify the 2-way split's representation
+            # floor past the 1e-4 gate at small lambda/n_fft (see
+            # stft.lowbin_fix_needed)
+            lo2 = (fw - hi.astype(f32) - lo.astype(f32)).astype(
+                jnp.bfloat16)
+            scr[0][c * gr:(c + 1) * gr, :] = lo2
 
     fhi = fwhi_ref[:]
     flo = fwlo_ref[:]
-    f32 = jnp.float32
     mel_acc = None
     if nyq_split:
         re_nyq = jnp.concatenate(nyq_parts, axis=0)      # (ROWS, 1)
@@ -159,14 +168,48 @@ def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
 
         re = dot3(chi_ref, clo_ref)
         im = dot3(shi_ref, slo_ref)
+        if lowbin_fix:
+            # all tiles, not just tile 0: framed is the fallback for
+            # lambdas OUTSIDE the specband window, where lambda/n_fft
+            # can be deep enough (< 1/30) that the window spectrum's
+            # smoothing creates fades beyond the first bin tile.  Two
+            # extra passes: the 3-way-split residual (lo2*bhi) and the
+            # x4 cross term (lo*blo) — both ~2^-18 absolute class,
+            # amplified past the gate at the deep mel fades
+            re = re + (jnp.dot(scr[0][:], chi_ref[:, col],
+                               preferred_element_type=f32)
+                       + jnp.dot(flo, clo_ref[:, col],
+                                 preferred_element_type=f32))
+            im = im + (jnp.dot(scr[0][:], shi_ref[:, col],
+                               preferred_element_type=f32)
+                       + jnp.dot(flo, slo_ref[:, col],
+                                 preferred_element_type=f32))
         p = re * re + im * im
         reim_ref[0, :, pl.ds(f * 2 * LANE, 2 * LANE)] = jnp.concatenate(
             [re, im], axis=1).astype(jnp.bfloat16)
-        # f32 x f32 mel projection: without an explicit precision Mosaic
-        # drops to one bf16 pass (4e-3-grade features — measured)
-        mel_t = jnp.dot(p, fb_ref[pl.ds(f * LANE, LANE), :],
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=f32)
+        row = pl.ds(f * LANE, LANE)
+        if lowbin_fix:
+            # explicit bf16x4 mel GEMM (p hi/lo x fb hi/lo, all four
+            # terms): Mosaic HIGHEST's own pass schedule leaves
+            # absolute-class cross terms that the deep fades amplify
+            # (hardware-measured: framed errors exceeded the matched
+            # CPU-interpret run only on this route)
+            phi = p.astype(jnp.bfloat16)
+            plo = (p - phi.astype(f32)).astype(jnp.bfloat16)
+            mel_t = (jnp.dot(phi, fbhi_ref[row, :],
+                             preferred_element_type=f32)
+                     + jnp.dot(plo, fbhi_ref[row, :],
+                               preferred_element_type=f32)
+                     + jnp.dot(phi, fblo_ref[row, :],
+                               preferred_element_type=f32)
+                     + jnp.dot(plo, fblo_ref[row, :],
+                               preferred_element_type=f32))
+        else:
+            # f32 x f32 mel projection: without an explicit precision
+            # Mosaic drops to one bf16 pass (4e-3-grade features)
+            mel_t = jnp.dot(p, fb_ref[row, :],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
         mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
     mel_ref[0] = mel_acc
 
@@ -238,7 +281,7 @@ def _xg_layout(x, n_fft, hop_length):
     return xg, nfr, nblk
 
 
-def _fwd(x, window, n_fft, hop_length, fb_pad, interpret):
+def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
      f_main) = _plan(n_fft, hop_length)
     b, t = x.shape
@@ -246,12 +289,16 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret):
     c_np, s_np = _bases_np(n_fft, f_pad)
     chi, clo = _split_hi_lo(jnp.asarray(c_np))
     shi, slo = _split_hi_lo(jnp.asarray(s_np))
+    # fb is static (concrete) — split eagerly, safe from the traced-
+    # value excess-precision elision (cf. specband_dmel._fwd_kernel)
+    fbhi, fblo = _split_hi_lo(fb_pad)
     w_pad = window[None, :]
 
     kern = functools.partial(_fwd_kernel, g=g, gr=gr,
                              hop_length=hop_length, n_fft=n_fft, n_f=n_f,
                              nyq_split=nyq_split, f_main=f_main,
-                             n_bins=n_bins, interpret=interpret)
+                             n_bins=n_bins, lowbin_fix=lowbin_fix,
+                             interpret=interpret)
     mel_pm, reim = pl.pallas_call(
         kern,
         grid=(b, nblk),
@@ -264,6 +311,8 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret):
             pl.BlockSpec((n_fft, f_pad), lambda bi, ki: (0, 0)),
             pl.BlockSpec((n_fft, f_pad), lambda bi, ki: (0, 0)),
             pl.BlockSpec((n_fft, f_pad), lambda bi, ki: (0, 0)),
+            pl.BlockSpec((f_pad, MEL_PAD), lambda bi, ki: (0, 0)),
+            pl.BlockSpec((f_pad, MEL_PAD), lambda bi, ki: (0, 0)),
             pl.BlockSpec((f_pad, MEL_PAD), lambda bi, ki: (0, 0)),
         ],
         out_specs=[
@@ -279,9 +328,10 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret):
         scratch_shapes=[
             pltpu.VMEM((ROWS, n_fft), jnp.bfloat16),
             pltpu.VMEM((ROWS, n_fft), jnp.bfloat16),
-        ],
+        ] + ([pltpu.VMEM((ROWS, n_fft), jnp.bfloat16)]
+             if lowbin_fix else []),
         interpret=interpret,
-    )(xg, w_pad, chi, clo, shi, slo, fb_pad)
+    )(xg, w_pad, chi, clo, shi, slo, fb_pad, fbhi, fblo)
 
     # phase-major -> frame order on the tiny mel tensor
     mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
@@ -333,10 +383,11 @@ def _bwd(window, n_fft, hop_length, fb_pad, interpret, residuals, dmel_fr):
     return dwindow
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _framed_mel(x, window, n_fft, hop_length, n_mels_key, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _framed_mel(x, window, n_fft, hop_length, n_mels_key, interpret,
+                lowbin_fix):
     mel, _ = _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key,
-                             interpret)
+                             interpret, lowbin_fix)
     return mel
 
 
@@ -347,19 +398,21 @@ def _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max):
                         (0, MEL_PAD - n_mels)))
 
 
-def _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key, interpret):
+def _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key, interpret,
+                    lowbin_fix=False):
     n_mels, sample_rate, f_min, f_max = n_mels_key
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
      f_main) = _plan(n_fft, hop_length)
     fb_pad = _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max)
-    mel_fr, res = _fwd(x, window, n_fft, hop_length, fb_pad, interpret)
+    mel_fr, res = _fwd(x, window, n_fft, hop_length, fb_pad, interpret,
+                       lowbin_fix)
     # x rides along for the (lazily-built) dx adjoint: |STFT|^2 is
     # quadratic in x, so its VJP needs the primal point
     return mel_fr[..., :n_mels], (res, window, x)
 
 
-def _framed_mel_bwd(n_fft, hop_length, n_mels_key, interpret, residuals,
-                    dmel):
+def _framed_mel_bwd(n_fft, hop_length, n_mels_key, interpret, lowbin_fix,
+                    residuals, dmel):
     (res, window, x_primal) = residuals
     n_mels, sample_rate, f_min, f_max = n_mels_key
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
@@ -388,13 +441,19 @@ _framed_mel.defvjp(_framed_mel_fwd, _framed_mel_bwd)
 def framed_mel_power(x, window, *, n_fft: int, hop_length: int,
                      n_mels: int, sample_rate: int, f_min: float = 0.0,
                      f_max: float | None = None,
+                     lowbin_fix: bool = True,
                      interpret: bool = False):
     """Fused in-kernel-framed mel power spectrogram.
 
     Returns ``(B, n_mels, n_frames)`` (same contract as
     ops.mel_spectrogram without the log).  Gradient w.r.t. ``window``
     flows through the fused backward kernel; gradient w.r.t. ``x``
-    through an XLA adjoint (built lazily).
+    through an XLA adjoint (built lazily).  ``lowbin_fix`` (static)
+    adds one extra bf16 pass on bin tile 0 so the deep-fade lowest mel
+    bands stay inside the 1e-4 gate at small lambda/n_fft ratios
+    (stft.lowbin_fix_needed); it defaults ON (correctness-first, ~3%
+    DFT cost) — the production dispatch turns it off when the static
+    lambd hint shows it is unnecessary.
     """
     if f_max is None:
         f_max = sample_rate // 2
@@ -406,6 +465,7 @@ def framed_mel_power(x, window, *, n_fft: int, hop_length: int,
     b_shape = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     key = (n_mels, sample_rate, float(f_min), float(f_max))
-    mel = _framed_mel(x2, window, n_fft, hop_length, key, interpret)
+    mel = _framed_mel(x2, window, n_fft, hop_length, key, interpret,
+                      lowbin_fix)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])

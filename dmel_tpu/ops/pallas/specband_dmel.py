@@ -189,19 +189,70 @@ def _dot4(a32, bhi, blo):
             + jnp.dot(alo, blo, preferred_element_type=f32))
 
 
+def _lo2(a32, ahi, alo):
+    """Third piece of a 3-way bf16 split: what the standard hi/lo pair
+    cannot represent (~2^-18 relative of ``a32``)."""
+    f32 = jnp.float32
+    return (a32 - ahi.astype(f32) - alo.astype(f32)).astype(jnp.bfloat16)
+
+
+def _dot6(a32, bhi, blo, blo2):
+    """~2^-27-class GEMM: 3-way split of BOTH operands, six bf16
+    passes (drops only >=2^-27 cross terms).  Used on the lowest output
+    tile when the lowbin fix is on — deep spectral fades at the first
+    mel bands amplify the 2-way split's ~2^-18 representation floor
+    past the 1e-4 log-mel gate at small lambda/n_fft ratios (measured:
+    mel band 0 fades to ~1e-3 of the median mel value, turning the
+    absolute quantization floor into >1e-4 relative error there)."""
+    f32 = jnp.float32
+    ahi, alo = _split_hi_lo(a32)
+    alo2 = _lo2(a32, ahi, alo)
+    return (jnp.dot(ahi, bhi, preferred_element_type=f32)
+            + jnp.dot(alo, bhi, preferred_element_type=f32)
+            + jnp.dot(ahi, blo, preferred_element_type=f32)
+            + jnp.dot(alo2, bhi, preferred_element_type=f32)
+            + jnp.dot(ahi, blo2, preferred_element_type=f32)
+            + jnp.dot(alo, blo, preferred_element_type=f32))
+
+
 def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 dchi_ref, dclo_ref, dshi_ref, dslo_ref, rotr_ref,
                 roti_ref, tmat_ref, fbhi_ref, fblo_ref, tn_ref,
                 fbn_ref, mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr,
                 hop_length, n_fft, hop_ext, nt_g, nyq, kpad, j_taps,
-                k_sig, interpret):
+                k_sig, lowbin_fix, interpret):
     f32 = jnp.float32
     xg = xg_ref[0]
+    width = LANE + 2 * j_taps
+
+    def dc_corr(a32, rows_n, chs, cls, shs, sls):
+        """Extra bf16 passes of the 3-way-split residual (lo2*bhi) and
+        the x4 cross term (lo*blo) against the first `width` basis
+        columns (covers band tile 0's X reads, bins -J..LANE-1+J):
+        lifts the spectra feeding the lowest mel bands from the ~2^-18
+        absolute floor (input representation + missing cross term, both
+        the same magnitude class) to ~2^-27.  The correction rides the
+        recurrence rotation exactly (f32 elementwise), so applying it
+        at the base/delta GEMMs covers every phase."""
+        ahi, alo = _split_hi_lo(a32)
+        alo2 = _lo2(a32, ahi, alo)
+        z = jnp.zeros((rows_n, kpad - width), f32)
+        cr = (jnp.dot(alo2, chs[:, :width], preferred_element_type=f32)
+              + jnp.dot(alo, cls[:, :width], preferred_element_type=f32))
+        ci = (jnp.dot(alo2, shs[:, :width], preferred_element_type=f32)
+              + jnp.dot(alo, sls[:, :width], preferred_element_type=f32))
+        return (jnp.concatenate([cr, z], axis=1),
+                jnp.concatenate([ci, z], axis=1))
 
     # ---- sliding-DFT spectra into (ROWS, kpad) scratch, phase-major ----
     base = xg[:, :n_fft]
     xr_c = _dot3(base, bchi_ref[:], bclo_ref[:])
     xi_c = _dot3(base, bshi_ref[:], bslo_ref[:])
+    if lowbin_fix:
+        cr, ci = dc_corr(base, gr, bchi_ref, bclo_ref, bshi_ref,
+                         bslo_ref)
+        xr_c = xr_c + cr
+        xi_c = xi_c + ci
     xr_scr[0:gr, :] = xr_c
     xi_scr[0:gr, :] = xi_c
     if g > 1:
@@ -221,6 +272,11 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 sl = shifted[:, off - loff:off - loff + LANE]
             dr = _dot3(sl, dchi_ref[:], dclo_ref[:])
             di = _dot3(sl, dshi_ref[:], dslo_ref[:])
+            if lowbin_fix:
+                cr, ci = dc_corr(sl, gr, dchi_ref, dclo_ref, dshi_ref,
+                                 dslo_ref)
+                dr = dr + cr
+                di = di + ci
             ar = xr_c + dr
             ai = xi_c + di
             xr_c = rotr * ar - roti * ai
@@ -236,7 +292,6 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # of the K banded blocks, so one GEMM per tile produces all K
     # windowed spectra; the (nt*K*LANE, MEL_PAD) filterbank rows are
     # pre-masked per sigma group (rows ordered (tile, sigma, lane)).
-    width = LANE + 2 * j_taps
     mel_acc = None
     # hi/lo-split the lambda-dependent taps IN-KERNEL: split in XLA,
     # the terminal's --xla_allow_excess_precision=true lets the
@@ -244,11 +299,17 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # correction (measured: 9.7e-5 -> 1.3e-2 parity under jit with a
     # traced lambda); Mosaic lowers the casts faithfully
     thi, tlo = _split_hi_lo(tmat_ref[:])
+    tlo2 = _lo2(tmat_ref[:], thi, tlo) if lowbin_fix else None
     for f in range(nt_g):
         xrs = xr_scr[:, f * LANE:f * LANE + width]
         xis = xi_scr[:, f * LANE:f * LANE + width]
-        sre = _dot3(xrs, thi, tlo)
-        sim = _dot3(xis, thi, tlo)
+        if lowbin_fix and f == 0:
+            # tile 0 holds the deep-fade mel bands: 6-pass band conv
+            sre = _dot6(xrs, thi, tlo, tlo2)
+            sim = _dot6(xis, thi, tlo, tlo2)
+        else:
+            sre = _dot3(xrs, thi, tlo)
+            sim = _dot3(xis, thi, tlo)
         p = sre * sre + sim * sim
         # explicit bf16x4 for the mel GEMM (Mosaic lowers only
         # DEFAULT/HIGHEST; HIGHEST costs 6 passes, bf16x4 is
@@ -368,10 +429,11 @@ def band_matrix(rho: jnp.ndarray, j_taps: int):
     return jnp.where(valid, rho[jnp.clip(idx, 0, 2 * j_taps)], 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _specband_mel(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _specband_mel(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
+                  lowbin_fix):
     mel, _ = _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key,
-                           interpret)
+                           interpret, lowbin_fix)
     return mel
 
 
@@ -421,7 +483,8 @@ def _mel_key_parts(mel_key):
     return n_mels, sample_rate, f_min, f_max, band_map
 
 
-def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
+def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
+                  lowbin_fix=False):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
     rows = ROWS if k_sig == 1 else ROWS_MULTI
@@ -450,7 +513,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
     kern = functools.partial(
         _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
         hop_ext=hop_ext, nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
-        k_sig=k_sig, interpret=interpret)
+        k_sig=k_sig, lowbin_fix=lowbin_fix, interpret=interpret)
     const = lambda bi, ki: (0, 0)
     mel_pm, xres = pl.pallas_call(
         kern,
@@ -497,7 +560,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret):
 
 
 def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
-                  residuals, dmel_fr):
+                  lowbin_fix, residuals, dmel_fr):
     xres, tmat, x_primal, nfr, nblk = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
@@ -600,6 +663,7 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
                        n_mels: int, sample_rate: int, f_min: float = 0.0,
                        f_max: float | None = None,
                        j_taps: int = SPECGEMM_J_TAPS,
+                       lowbin_fix: bool = False,
                        interpret: bool = False):
     """Fused specband mel power spectrogram: ``(B, n_mels, n_frames)``.
 
@@ -607,7 +671,10 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
     window is); the lambda gradient flows through
     :func:`window_taps_sym` -> :func:`band_matrix` -> the kernel's dT
     adjoint.  Truncation validity is the caller's responsibility
-    (stft.specgemm_ok).
+    (stft.specgemm_ok).  ``lowbin_fix`` (static; gate with
+    stft.lowbin_fix_needed on the same lambd hint) adds the 3-way-split
+    correction passes that keep the deep-fade lowest mel bands inside
+    the 1e-4 parity gate at small lambda/n_fft ratios.
     """
     if f_max is None:
         f_max = sample_rate // 2
@@ -622,7 +689,7 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
     tmat = band_matrix(rho, j_taps)
     key = (n_mels, sample_rate, float(f_min), float(f_max))
     mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
-                        interpret)
+                        interpret, lowbin_fix)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])
 
@@ -632,6 +699,7 @@ def specband_mel_power_multi(x, windows, band_map, *, n_fft: int,
                              sample_rate: int, f_min: float = 0.0,
                              f_max: float | None = None,
                              j_taps: int = SPECGEMM_J_TAPS,
+                             lowbin_fix: bool = False,
                              interpret: bool = False):
     """Multi-sigma fused specband mel: ``(B, n_mels, n_frames)``.
 
@@ -661,6 +729,6 @@ def specband_mel_power_multi(x, windows, band_map, *, n_fft: int,
     key = (n_mels, sample_rate, float(f_min), float(f_max),
            tuple(int(v) for v in np.asarray(band_map)))
     mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
-                        interpret)
+                        interpret, lowbin_fix)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])

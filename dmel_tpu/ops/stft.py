@@ -322,6 +322,31 @@ SPECBAND_J_LADDER = (12, 16, SPECGEMM_J_TAPS)
 _SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC = 1.0 / 9.6
 
 
+#: lambda/n_fft threshold below which the fused kernels enable their
+#: low-bin precision fix.  Mechanism (measured, scripts/certify_ladder
+#: + numpy error decomposition): the lowest mel bands aggregate few
+#: effective spectral degrees of freedom, and the window spectrum's
+#: bin-to-bin smoothing (sigma_f = n_fft/(2 pi lambda) bins) correlates
+#: them further as lambda shrinks — mel band 0 fades to ~1e-3 of the
+#: median mel value.  The bf16 2-way operand split's ~2^-18
+#: representation floor is ABSOLUTE across bins, so at those fades it
+#: becomes >1e-4 relative (1.2-2.5e-4 measured on hardware at
+#: lambda <= n_fft/16 vs 7e-5 at lambda = n_fft/8).  The fix lifts the
+#: first output tile to a 3-way split (~2^-27): measured <=4e-5 across
+#: seeds at lambda in [n_fft/28, n_fft/16].
+LOWBIN_FIX_MAX_LAMBDA_FRAC = 1.0 / 12.0
+
+
+def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:
+    """Whether the fused kernels' low-bin precision fix is needed for
+    this (static) lambda hint.  In production dispatch the hint comes
+    from the same host boundary as the window bucket, so compilations
+    at the bottom of a bucket (lambda/win in (1/16, 1/12)) get the
+    extra correction passes and top-of-bucket ones (e.g. the bench
+    point lambda = win/8) stay on the cheaper bf16x3 path."""
+    return abs(float(lambd_value)) < LOWBIN_FIX_MAX_LAMBDA_FRAC * n_fft
+
+
 def specband_j_taps(lambd_value: float, n_fft: int) -> int | None:
     """Smallest tap count on the ladder that keeps the J-truncated
     window spectrum inside the parity budget for ``lambd_value``, or

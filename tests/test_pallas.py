@@ -352,6 +352,32 @@ class TestSpecbandKernel:
                                 n_mels=32, sample_rate=8000, hop_length=7,
                                 optimized=True, window_length=256)
 
+    def test_lowbin_fix_small_lambda_parity(self, rng):
+        """Small lambda/n_fft ratios amplify the bf16 2-way-split
+        representation floor at the deep-fade lowest mel bands past the
+        1e-4 gate (round-2 certify_ladder find: 1.2-2.5e-4 on hardware
+        at lambda <= n_fft/16 vs 7e-5 at the bench point n_fft/8).  The
+        dispatch enables the 3-way-split correction passes from the
+        same static hint that picks J (stft.lowbin_fix_needed); parity
+        must hold at the previously-failing lambdas on both routes."""
+        from dmel_tpu.ops.stft import lowbin_fix_needed
+        assert lowbin_fix_needed(36.0, 1024)
+        assert lowbin_fix_needed(64.0, 1024)
+        assert not lowbin_fix_needed(128.0, 1024)   # bench point: off
+        assert not lowbin_fix_needed(85.4, 1024)
+        x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=1024)
+        for lam in (36.0,      # specband route, ratio ~1/28
+                    64.0,      # specband route, bucket edge ratio 1/16
+                    13.3):     # framed fallback, deep ratio ~1/77
+            want = ops.mel_spectrogram(x, lam, method="matmul", **kw)
+            got = ops.mel_spectrogram(x, lam, impl="pallas",
+                                      lambd_hint=lam, **kw)
+            err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                        - jnp.log(want + 1e-10))))
+            assert err < 1e-4, (lam, err)
+
     def test_multi_sigma_under_jit(self, rng):
         """The static lambd_hint/band_map plumbing must survive a jit
         trace (regression: jnp constants become tracers under jit, so
