@@ -26,35 +26,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 B = 4
 T = 40000
 SR = 8000
-N_FFT = 1024
-WIN = 1024
 HOP = 80
 N_MELS = 64
 
-# lambdas spanning the ladder: below-window fallback (13.3, 30), lower
-# dispatch edge (36), audio_mnist grid point (46.7), J=16 band (52,
-# 64, 85), J=12 band (90, 100, 106), sidelobe regime J=24 (110, 120,
-# 128), above-window fallback (200, 400 — the audio_mnist 0.3 point)
-LAMBDAS = [13.3, 30.0, 36.0, 46.7, 52.0, 64.0, 85.0, 90.0, 100.0,
-           106.0, 110.0, 120.0, 128.0, 200.0, 400.0]
+# (lambda, win=n_fft) cases.  win=1024: lambdas spanning the ladder —
+# below-window fallback (13.3, 30), lower dispatch edge (36),
+# audio_mnist grid point (46.7), J=16 band (52, 64, 85), J=12 band
+# (90, 100, 106), sidelobe regime J=24 (110, 120, 128), above-window
+# fallback (200, 400 — the audio_mnist 0.3 point).  win=512/256:
+# production bucket geometries (optimized_window_length puts
+# lambda/win in (1/16, 1/8]) at bottom-, mid- and top-of-bucket
+# lambdas, incl. the audio_mnist 46.7 point in ITS actual bucket.
+CASES = ([(lam, 1024) for lam in
+          (13.3, 30.0, 36.0, 46.7, 52.0, 64.0, 85.0, 90.0, 100.0,
+           106.0, 110.0, 120.0, 128.0, 200.0, 400.0)]
+         + [(lam, 512) for lam in (33.0, 40.0, 46.7, 52.0, 63.9)]
+         + [(lam, 256) for lam in (16.5, 24.0, 31.9)])
 
 
-def torch_oracle(x_np, lambd):
+def torch_oracle(x_np, lambd, win):
     import torch
     from tests.reference_impl import np_melscale_fbanks
 
     fb = torch.from_numpy(np_melscale_fbanks(
-        N_FFT // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
+        win // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
     lam = torch.tensor(float(lambd), requires_grad=True)
     outs = []
     total = None
     for i in range(x_np.shape[0]):
         xi = torch.from_numpy(x_np[i])
         xi = xi - xi.mean()
-        m = torch.arange(WIN).float()
-        w = torch.exp(-0.5 * ((m - WIN / 2) /
+        m = torch.arange(win).float()
+        w = torch.exp(-0.5 * ((m - win / 2) /
                               (torch.abs(lam) + 1e-15)) ** 2)
-        s = torch.stft(xi, n_fft=N_FFT, hop_length=HOP, win_length=WIN,
+        s = torch.stft(xi, n_fft=win, hop_length=HOP, win_length=win,
                        window=w, return_complex=True, pad_mode="constant")
         s = torch.abs(s) ** 2
         mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
@@ -82,37 +87,39 @@ def main():
     xj = jnp.asarray(x_np)
 
     failures = []
-    for lam in LAMBDAS:
-        in_window = stft_mod.specgemm_ok(lam, WIN, N_FFT)
-        j = stft_mod.specband_j_taps(lam, N_FFT)
-        route = f"specband(J={j})" if (in_window and j) else "framed"
+    for lam, win in CASES:
+        in_window = stft_mod.specgemm_ok(lam, win, win)
+        j = stft_mod.specband_j_taps(lam, win)
+        fix = stft_mod.lowbin_fix_needed(lam, win)
+        route = (f"specband(J={j}" if (in_window and j) else "framed(")
+        route += "+lb)" if fix else ")"
         fgate, ggate = (1e-4, 1e-2) if (in_window and j) else (1e-4, 1e-3)
 
-        def feat(l, x, _lam=lam):
+        def feat(l, x, _lam=lam, _win=win):
             m = ops.mel_spectrogram(
                 x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
-                optimized=True, window_length=WIN, impl="pallas",
+                optimized=True, window_length=_win, impl="pallas",
                 lambd_hint=_lam)
             return ops.accurate_log(m + 1e-10)
 
-        ref_feat, ref_grad = torch_oracle(x_np, lam)
+        ref_feat, ref_grad = torch_oracle(x_np, lam, win)
         got = np.asarray(jax.jit(feat)(jnp.float32(lam), xj))
         ferr = float(np.max(np.abs(got - ref_feat)))
         g = float(jax.jit(jax.grad(lambda l, x: feat(l, x).sum()))(
             jnp.float32(lam), xj))
         gerr = abs(g - ref_grad) / max(abs(ref_grad), 1e-30)
         ok = ferr <= fgate and gerr <= ggate
-        print(f"lambda={lam:7.1f} route={route:15s} "
+        print(f"lambda={lam:7.1f} win={win:5d} route={route:17s} "
               f"logmel_err={ferr:.2e} (gate {fgate:.0e}) "
               f"dlambda_rel={gerr:.2e} (gate {ggate:.0e}) "
               f"{'PASS' if ok else 'FAIL'}", flush=True)
         if not ok:
-            failures.append(lam)
+            failures.append((lam, win))
 
     if failures:
-        print(f"FAILED lambdas: {failures}")
+        print(f"FAILED cases: {failures}")
         sys.exit(1)
-    print("all lambdas certified")
+    print("all cases certified")
 
 
 if __name__ == "__main__":
