@@ -32,10 +32,17 @@ def gaussian_window(lambd, window_length: int, norm: bool = False,
     Returns:
       ``(window_length,)`` array.
     """
+    from dmel_tpu.ops.numerics import accurate_exp
     lambd = jnp.asarray(lambd, dtype=dtype)
     m = jnp.arange(window_length, dtype=dtype)
     z = (m - window_length / 2) / (lambd + LAMBD_EPS)
-    window = jnp.exp(-0.5 * jnp.square(z))
+    # accurate_exp, not jnp.exp: the device exp's |arg|-scaled relative
+    # error (~2e-6 at the window tails) is an absolute-class error
+    # across spectrogram bins that deep mel fades amplify past the
+    # 1e-4 gate (ops/numerics.py).  The f32 argument computation here
+    # is op-identical to the reference's, so the exp implementation is
+    # the only window-value divergence from torch.
+    window = accurate_exp(-0.5 * jnp.square(z))
     if norm:
         window = window / jnp.sqrt(jnp.sum(jnp.square(window)))
     return window
