@@ -74,6 +74,15 @@ MEL_PAD = 128
 ROWS = 512
 ROWS_MULTI = 256
 
+#: Run all g-1 hop-length delta GEMMs as ONE ((g-1)*gr, LANE)-row
+#: stacked GEMM instead of g-1 separate gr-row GEMMs (full MXU row
+#: fill; the deltas are recurrence-independent, only the cheap VPU
+#: rotation/accumulation is sequential).  Bitwise-identical results.
+#: Default OFF pending a hardware A/B: the stacked (rows, kpad) f32
+#: dr/di intermediates add ~2.3 MB of VMEM pressure at ROWS=512,
+#: which may not fit next to the 15.5 MB working set.
+STACK_DELTAS = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -259,24 +268,43 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
         dblk = xg[:, n_fft:n_fft + hop_ext] - xg[:, :hop_ext]
         rotr = rotr_ref[0, :]
         roti = roti_ref[0, :]
-        for c in range(g - 1):
+
+        def delta_slice(c):
             off = c * hop_length
             loff = off % LANE
             if loff == 0:
-                sl = dblk[:, off:off + LANE]
+                return dblk[:, off:off + LANE]
+            if interpret:
+                shifted = jnp.roll(dblk, -loff, axis=1)
             else:
-                if interpret:
-                    shifted = jnp.roll(dblk, -loff, axis=1)
-                else:
-                    shifted = pltpu.roll(dblk, hop_ext - loff, axis=1)
-                sl = shifted[:, off - loff:off - loff + LANE]
-            dr = _dot3(sl, dchi_ref[:], dclo_ref[:])
-            di = _dot3(sl, dshi_ref[:], dslo_ref[:])
+                shifted = pltpu.roll(dblk, hop_ext - loff, axis=1)
+            return shifted[:, off - loff:off - loff + LANE]
+
+        if STACK_DELTAS:
+            # see the STACK_DELTAS note: one full-row-fill GEMM for all
+            # g-1 deltas, bitwise-identical per-row results
+            sl_all = jnp.concatenate(
+                [delta_slice(c) for c in range(g - 1)], axis=0)
+            dr_all = _dot3(sl_all, dchi_ref[:], dclo_ref[:])
+            di_all = _dot3(sl_all, dshi_ref[:], dslo_ref[:])
             if lowbin_fix:
-                cr, ci = dc_corr(sl, gr, dchi_ref, dclo_ref, dshi_ref,
-                                 dslo_ref)
-                dr = dr + cr
-                di = di + ci
+                cr, ci = dc_corr(sl_all, (g - 1) * gr, dchi_ref,
+                                 dclo_ref, dshi_ref, dslo_ref)
+                dr_all = dr_all + cr
+                di_all = di_all + ci
+        for c in range(g - 1):
+            if STACK_DELTAS:
+                dr = dr_all[c * gr:(c + 1) * gr, :]
+                di = di_all[c * gr:(c + 1) * gr, :]
+            else:
+                sl = delta_slice(c)
+                dr = _dot3(sl, dchi_ref[:], dclo_ref[:])
+                di = _dot3(sl, dshi_ref[:], dslo_ref[:])
+                if lowbin_fix:
+                    cr, ci = dc_corr(sl, gr, dchi_ref, dclo_ref,
+                                     dshi_ref, dslo_ref)
+                    dr = dr + cr
+                    di = di + ci
             ar = xr_c + dr
             ai = xi_c + di
             xr_c = rotr * ar - roti * ai
