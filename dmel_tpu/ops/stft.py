@@ -719,6 +719,13 @@ def stft_power_matmul_ext_mp(x, window, n_fft, hop_length, *,
     orders below SGD batch noise.  Semantics match the autograd chain of
     /root/reference/time_frequency.py:48-53.
 
+    Validity domain: like every bf16x3-class forward, the 'HIGH'
+    default holds the 1e-4 gate for lambda >= ~n_fft/12; below that the
+    deep low-mel-band fades amplify the 2-way-split floor (see
+    :func:`lowbin_fix_needed`) — use the default HIGHEST path or the
+    Pallas dispatch (which carries its own hint-gated fix) for small
+    lambda/n_fft ratios.
+
     Requires ``win_length == n_fft`` (optimized-mode convention).
     """
     if window.shape[-1] != n_fft:
