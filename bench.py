@@ -223,6 +223,21 @@ def main():
     from dmel_tpu import ops
     from dmel_tpu.ops.pallas import fused_dmel
 
+    # The tunneled backend can WEDGE (jax.devices() blocks forever in a
+    # C call — SIGALRM can't interrupt it; observed: >6 h outage after
+    # clients were killed mid-call).  Probe backend liveness in a
+    # killable SUBPROCESS and fail fast with a diagnosable error
+    # instead of hanging the driver.
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "bench aborted: backend init did not complete in 300 s — "
+            "tunneled TPU relay is wedged (see CLAUDE.md)")
+
     backend = jax.default_backend()
     on_tpu = backend in ("tpu", "axon")
     log(f"backend: {backend}, devices: {jax.devices()}")
