@@ -55,10 +55,20 @@ def _round_up(x: int, m: int) -> int:
 
 def supported(n_fft: int, hop_length: int, n_mels: int) -> bool:
     """Static dispatch guard: n_fft must be a lane multiple and the hop
-    must admit a group of <= 16 frames (G*hop lane-aligned)."""
+    must admit a group of <= 16 frames (G*hop lane-aligned).
+
+    n_fft is capped at 1024 for the same reason as
+    specband_dmel.supported: at 2048 the four hi/lo-split DFT bases
+    alone (4 x n_fft x f_pad bf16 ~ 19 MB) exceed the 16 MB scoped
+    VMEM (measured OOM on v5e for the same shapes) — interpret-mode
+    tests cannot see the budget, so the guard must.  The win=2048
+    window bucket (lambda in (170.7, 341.3] under the optimized 6-sigma
+    rule) falls back to the XLA matmul_ext paths, which the n_fft
+    crossover table in PERF.md shows are the right tool there anyway.
+    """
     g = LANE // gcd(hop_length, LANE)
     return (n_fft % LANE == 0 and g <= 16 and n_mels <= MEL_PAD
-            and n_fft <= 2048)
+            and n_fft <= 1024)
 
 
 ROWS = 256             # frames per kernel block (2 MXU row tiles) —
