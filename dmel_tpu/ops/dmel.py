@@ -44,12 +44,16 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         (reference models.py:38).
       abs_lambd: use ``|lambd|`` (reference models.py:38).
       method: "fft" | "matmul" STFT path (ignored for impl="pallas").
-      impl: "xla" (pure jnp, autodiff), "pallas" (best fused TPU kernel:
-        the sliding-DFT specband kernel when the geometry supports it
-        AND a static ``lambd_hint`` passes the truncation guard, else
-        the in-kernel-framing kernel, else the framed-by-XLA fused
-        kernel), or the explicit "pallas_specband" / "pallas_framed" /
-        "pallas_fused" variants.
+      impl: "xla" (pure jnp, autodiff), "pallas" (best fused TPU kernel
+        *within the certified-parity domain*: the sliding-DFT specband
+        kernel when the geometry supports it AND a static ``lambd_hint``
+        passes the truncation guard, else the in-kernel-framing kernel,
+        else the framed-by-XLA fused kernel; n_fft below
+        ``stft.PALLAS_AUTO_MIN_NFFT`` routes to the exact XLA path —
+        the kernels' bf16-split floor breaks the 1e-4 log-mel gate at
+        small n_fft), or the explicit "pallas_specband" /
+        "pallas_framed" / "pallas_fused" variants (honored regardless
+        of the auto floor).
       lambd_hint: static float telling the "pallas" auto-dispatch the
         lambda magnitude this compilation will serve, so it can gate
         the J-truncated specband kernel with
@@ -104,7 +108,9 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                         "see specband_dmel.supported")
                 use_specband = True
             else:
+                from dmel_tpu.ops import stft as _stft
                 use_specband = (geom_ok and lambd_hint is not None
+                                and n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
                                 and specgemm_ok(lambd_hint, win_length,
                                                 n_fft, hop_length))
             # adaptive tap count: large lambdas (narrow window spectra)
@@ -123,7 +129,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 j_taps=sb_taps, lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
-        use_framed = (impl not in ("pallas_fused",) and win_length == n_fft
+        from dmel_tpu.ops import stft as _stft
+        # auto dispatch floors the fused kernels at the certified-parity
+        # n_fft (stft.PALLAS_AUTO_MIN_NFFT — small n_fft fails the 1e-4
+        # gate on quantization); explicit impls are honored as requested
+        auto_ok = impl != "pallas" or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
+        use_framed = (impl not in ("pallas_fused",) and auto_ok
+                      and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
         if impl == "pallas_framed" and not use_framed:
             raise ValueError("geometry unsupported by the framed kernel; "
@@ -136,9 +148,11 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
-        if n_fft > fused_dmel.MAX_N_FFT:
-            # DFT basis (2 x n_fft x n_fft/2 floats) would blow VMEM
-            # budgets; the XLA FFT path handles long windows instead.
+        if n_fft > fused_dmel.MAX_N_FFT or not auto_ok:
+            # Too large: DFT basis (2 x n_fft x n_fft/2 floats) would
+            # blow VMEM budgets — the XLA FFT path handles long windows.
+            # Too small (auto dispatch only): below the certified-parity
+            # floor — the exact XLA path holds the 1e-4 contract there.
             impl = "xla"
         else:
             return fused_dmel.dmel_power(
@@ -230,7 +244,9 @@ def multi_sigma_mel_spectrogram(
         hints = (None if lambd_hint is None
                  else [float(h) for h in _np.atleast_1d(
                      _np.asarray(lambd_hint, dtype=_np.float32))])
+        from dmel_tpu.ops import stft as _stft
         if (hints is not None
+                and wl >= _stft.PALLAS_AUTO_MIN_NFFT
                 and specband_dmel.supported(wl, hop_length, n_mels)
                 and all(specgemm_ok(h, wl, wl, hop_length)
                         for h in hints)):

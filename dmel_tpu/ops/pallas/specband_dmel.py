@@ -43,11 +43,14 @@ window), with an adaptive tap ladder (stft.specband_j_taps).
 
 Measured accuracy class (log-mel max-abs vs the exact f32 GEMM path):
 ~1e-4 at the production geometries (n_fft >= 1024, g <= 8 recurrence
-phases — 9.7e-5 in-run at the bench config), degrading to ~3e-4 at
-small n_fft with g = 16 phases (n_fft=256, hop=40) where the bf16x3
-delta-GEMM quantization accumulates over more recurrence steps.  The
-tight-parity alternative at any geometry is the framed kernel
-(framed_dmel.py, 3.6e-5).
+phases — 9.7e-5 in-run at the bench config), degrading past the gate
+at small n_fft (hardware lambda sweep: 1.2-2.7e-4 at n_fft=512, up to
+2.5e-3 at n_fft=256) where each mel band integrates few bins, so deep
+band fades expose the bf16x3 spectra quantization in every tile.  The
+AUTO dispatch therefore floors this kernel at
+stft.PALLAS_AUTO_MIN_NFFT; below it the exact XLA path holds the
+contract.  The tight-GRADIENT alternative at certified geometries is
+the framed kernel (framed_dmel.py — same small-n_fft caveat).
 """
 
 from __future__ import annotations

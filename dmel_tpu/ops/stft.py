@@ -336,6 +336,23 @@ _SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC = 1.0 / 9.6
 #: seeds at lambda in [n_fft/28, n_fft/16].
 LOWBIN_FIX_MAX_LAMBDA_FRAC = 1.0 / 12.0
 
+#: Certified-parity floor for the AUTO ``impl="pallas"`` dispatch.
+#: The fused kernels' bf16-split quantization is an ABSOLUTE floor
+#: relative to the largest spectral values; at small n_fft each mel
+#: band integrates very few bins, so band-power fades get deep enough
+#: to push that floor past the 1e-4 log-mel gate in EVERY tile, not
+#: just band 0 (hardware lambda sweep, scripts/certify_ladder.py:
+#: specband 1.2-2.7e-4 at n_fft=512, 4e-4-2.5e-3 at n_fft=256; the
+#: framed kernel fails too at 256, 4.6e-3 at lambda=31.9 — reproduced
+#: in CPU interpret mode, so quantization, not a hardware defect; the
+#: tile-0 precision ladder does not close it because the dominant term
+#: is the bf16x3 spectra themselves).  Auto dispatch therefore hands
+#: n_fft below this floor to the exact XLA path (~1e-5 at these
+#: geometries, and the FLOP savings at stake are small).  Explicit
+#: impl="pallas_*" requests are honored regardless (tests exercise the
+#: kernels at tiny geometries with their own gates).
+PALLAS_AUTO_MIN_NFFT = 1024
+
 
 def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:
     """Whether the fused kernels' low-bin precision fix is needed for

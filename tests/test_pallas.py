@@ -18,6 +18,54 @@ def rel_err(a, b):
     return float(np.max(np.abs(a - b)) / max(1.0, np.max(np.abs(b))))
 
 
+@pytest.fixture(autouse=True)
+def _kernel_geometries(monkeypatch):
+    """This module tests the KERNELS, at tiny interpret-mode
+    geometries; production auto dispatch floors them at
+    stft.PALLAS_AUTO_MIN_NFFT (small n_fft fails the 1e-4 gate on
+    hardware — certify_ladder round-2 find).  Lower the floor so
+    impl="pallas" still resolves to the kernels here; the floor's own
+    behavior is covered by TestAutoParityFloor."""
+    from dmel_tpu.ops import stft as stft_mod
+    monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 128)
+
+
+class TestAutoParityFloor:
+    def test_small_nfft_routes_to_xla(self, rng, monkeypatch):
+        """AUTO impl="pallas" below the certified floor must take the
+        exact XLA path (kernels would break the 1e-4 contract there);
+        explicit impls stay honored."""
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import framed_dmel as fr
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 1024)
+
+        def boom(*a, **k):
+            raise AssertionError("kernel dispatched below the floor")
+
+        monkeypatch.setattr(sb, "specband_mel_power", boom)
+        monkeypatch.setattr(fr, "framed_mel_power", boom)
+        monkeypatch.setattr(fused_dmel, "dmel_power", boom)
+        x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+        kw = dict(n_mels=32, sample_rate=8000, hop_length=16,
+                  optimized=True, window_length=256)
+        got = ops.mel_spectrogram(x, 24.0, impl="pallas",
+                                  lambd_hint=24.0, **kw)
+        want = ops.mel_spectrogram(x, 24.0, impl="xla", **kw)
+        assert rel_err(got, want) == 0.0
+        # multi-sigma auto dispatch floors too
+        from dmel_tpu.ops import dmel
+        monkeypatch.setattr(sb, "specband_mel_power_multi", boom)
+        lams = jnp.asarray([20.0, 26.0])
+        gm = dmel.multi_sigma_mel_spectrogram(
+            x, lams, impl="pallas", lambd_hint=[20.0, 26.0], **kw)
+        wm = dmel.multi_sigma_mel_spectrogram(x, lams, impl="xla", **kw)
+        assert rel_err(gm, wm) == 0.0
+        # explicit impl bypasses the floor (kernel actually called)
+        with pytest.raises(AssertionError, match="below the floor"):
+            ops.mel_spectrogram(x, 24.0, impl="pallas_framed", **kw)
+
+
 CASES = [
     # (T, win_length, n_fft, hop, n_mels)  — bench case + small cases
     (4000, 1024, 1024, 80, 64),
