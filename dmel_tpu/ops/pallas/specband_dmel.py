@@ -81,9 +81,10 @@ ROWS_MULTI = 256
 #: stacked GEMM instead of g-1 separate gr-row GEMMs (full MXU row
 #: fill; the deltas are recurrence-independent, only the cheap VPU
 #: rotation/accumulation is sequential).  Bitwise-identical results.
-#: Default OFF pending a hardware A/B: the stacked (rows, kpad) f32
-#: dr/di intermediates add ~2.3 MB of VMEM pressure at ROWS=512,
-#: which may not fit next to the 15.5 MB working set.
+#: Hardware A/B (bench geometry, ROWS=512, median of 5): OFF 2.61 ms /
+#: ON 2.60 ms per batch — a wash inside run-to-run spread, no OOM.
+#: Default stays OFF: the stacked (rows, kpad) f32 dr/di intermediates
+#: add ~2.3 MB of VMEM pressure for no measured win.
 STACK_DELTAS = False
 
 
