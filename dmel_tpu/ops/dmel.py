@@ -77,6 +77,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
     if impl in ("pallas", "pallas_specband", "pallas_framed",
                 "pallas_fused"):
         from dmel_tpu.ops.pallas import framed_dmel, fused_dmel
+        from dmel_tpu.ops import stft as _stft
         t = x.shape[-1]
         if optimized:
             if window_length is None:
@@ -108,7 +109,6 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                         "see specband_dmel.supported")
                 use_specband = True
             else:
-                from dmel_tpu.ops import stft as _stft
                 use_specband = (geom_ok and lambd_hint is not None
                                 and n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
                                 and specgemm_ok(lambd_hint, win_length,
@@ -129,7 +129,6 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 j_taps=sb_taps, lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
-        from dmel_tpu.ops import stft as _stft
         # auto dispatch floors the fused kernels at the certified-parity
         # n_fft (stft.PALLAS_AUTO_MIN_NFFT — small n_fft fails the 1e-4
         # gate on quantization); explicit impls are honored as requested

@@ -27,7 +27,7 @@ def _kernel_geometries(monkeypatch):
     impl="pallas" still resolves to the kernels here; the floor's own
     behavior is covered by TestAutoParityFloor."""
     from dmel_tpu.ops import stft as stft_mod
-    monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 128)
+    monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
 
 
 class TestAutoParityFloor:
@@ -121,8 +121,20 @@ class TestFusedVJP:
         g_xla = float(jax.grad(lambda l: loss(l, "xla"))(20.0))
         assert abs(g_pal - g_xla) < 1e-3 * max(1.0, abs(g_xla))
 
-    def test_x_grad_matches_xla(self, rng):
+    def test_x_grad_matches_xla(self, rng, monkeypatch):
         x = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+        # n_fft=64 sits below even the lowered fixture floor's framed
+        # guard, so this exercises the fused kernel's input gradient —
+        # assert the kernel really dispatched (round-2 advisor find:
+        # a higher floor silently made this XLA-vs-XLA)
+        calls = {"n": 0}
+        real = fused_dmel.dmel_power
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(fused_dmel, "dmel_power", counting)
 
         def loss(x, impl):
             m = ops.mel_spectrogram(x, 10.0, n_mels=8, sample_rate=8000,
@@ -131,6 +143,7 @@ class TestFusedVJP:
             return (m * m).sum()
 
         g_pal = jax.grad(lambda v: loss(v, "pallas"))(x)
+        assert calls["n"] > 0, "fused kernel did not dispatch"
         g_xla = jax.grad(lambda v: loss(v, "xla"))(x)
         assert rel_err(g_pal, g_xla) < 1e-5
 
