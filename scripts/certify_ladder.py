@@ -41,7 +41,15 @@ CASES = ([(lam, 1024) for lam in
           (13.3, 30.0, 36.0, 46.7, 52.0, 64.0, 85.0, 90.0, 100.0,
            106.0, 110.0, 120.0, 128.0, 200.0, 400.0)]
          + [(lam, 512) for lam in (33.0, 40.0, 46.7, 52.0, 63.9)]
-         + [(lam, 256) for lam in (16.5, 24.0, 31.9)])
+         + [(lam, 256) for lam in (16.5, 24.0, 31.9)]
+         # round-3 large-n_fft rungs (resident-basis specband):
+         # win=2048 bucket lambda in (170.7, 341.3] — J=12 band (175,
+         # 204.8), J=24 sidelobe band (230, 256 = specband upper edge),
+         # fused-kernel fallback above the truncation window (300);
+         # win=4096 — the reference's 300 ms production arm lambda=400
+         # (search_spaces.py:29,61), J=12/J=24 bands, fallback 600
+         + [(lam, 2048) for lam in (175.0, 204.8, 230.0, 256.0, 300.0)]
+         + [(lam, 4096) for lam in (345.0, 400.0, 500.0, 600.0)])
 
 
 def torch_oracle(x_np, lambd, win):
@@ -86,9 +94,11 @@ def main():
     x_np = rng.standard_normal((B, T)).astype(np.float32)
     xj = jnp.asarray(x_np)
 
+    from dmel_tpu.ops.pallas import framed_dmel
+
     failures = []
     for lam, win in CASES:
-        in_window = stft_mod.specgemm_ok(lam, win, win)
+        in_window = stft_mod.specband_ok(lam, win, win, HOP)
         j = stft_mod.specband_j_taps(lam, win)
         fix = stft_mod.lowbin_fix_needed(lam, win)
         if win < stft_mod.PALLAS_AUTO_MIN_NFFT:
@@ -97,11 +107,17 @@ def main():
             # floor breaks the 1e-4 gate at small n_fft)
             route = "xla(min-nfft)"
             fgate, ggate = 1e-4, 1e-3
+        elif in_window and j and specband_dmel.supported(win, HOP, N_MELS):
+            route = f"specband(J={j}" + ("+lb)" if fix else ")")
+            fgate, ggate = 1e-4, 1e-2
+        elif framed_dmel.supported(win, HOP, N_MELS):
+            route = "framed(+lb)" if fix else "framed()"
+            fgate, ggate = 1e-4, 1e-3
         else:
-            route = (f"specband(J={j}" if (in_window and j) else "framed(")
-            route += "+lb)" if fix else ")"
-            fgate, ggate = ((1e-4, 1e-2) if (in_window and j)
-                            else (1e-4, 1e-3))
+            # large-n_fft lambdas outside the truncation window fall to
+            # the device-basis fused kernel (framed caps at 1024)
+            route = "fused(device-basis)"
+            fgate, ggate = 1e-4, 1e-3
 
         def feat(l, x, _lam=lam, _win=win):
             m = ops.mel_spectrogram(
@@ -123,6 +139,67 @@ def main():
               f"{'PASS' if ok else 'FAIL'}", flush=True)
         if not ok:
             failures.append((lam, win))
+
+    # ---- multi-sigma rungs (K = 3 sharing one spectra pass) ---------
+    # certified on hardware through jit vs a per-sigma torch oracle;
+    # VERDICT r2 next #7 (the round-2 ladder was K = 1 only)
+    from dmel_tpu.ops import dmel as dmel_mod
+
+    def multi_oracle(x_np, lams, win, band_map):
+        import torch
+        from tests.reference_impl import np_melscale_fbanks
+        fb = np_melscale_fbanks(win // 2 + 1, 0.0, SR // 2, N_MELS,
+                                SR).astype(np.float32)
+        lam_t = torch.tensor(lams, requires_grad=True)
+        sel = np.zeros((N_MELS, len(lams)), np.float32)
+        sel[np.arange(N_MELS), band_map] = 1.0
+        outs, total = [], None
+        for i in range(x_np.shape[0]):
+            xi = torch.from_numpy(x_np[i])
+            xi = xi - xi.mean()
+            m = torch.arange(win).float()
+            mels = []
+            for k in range(len(lams)):
+                w = torch.exp(-0.5 * ((m - win / 2) /
+                                      (torch.abs(lam_t[k]) + 1e-15)) ** 2)
+                s = torch.stft(xi, n_fft=win, hop_length=HOP,
+                               win_length=win, window=w,
+                               return_complex=True, pad_mode="constant")
+                s = torch.abs(s) ** 2
+                fbk = torch.from_numpy(fb * sel[:, k][None, :])
+                mels.append((s.transpose(-1, -2) @ fbk).transpose(-1, -2))
+            logmel = torch.log(sum(mels) + 1e-10)
+            outs.append(logmel.detach().numpy())
+            total = logmel.sum() if total is None else total + logmel.sum()
+        total.backward()
+        return np.stack(outs), lam_t.grad.numpy()
+
+    for win, lams in [(1024, [100.0, 115.0, 128.0]),
+                      (2048, [180.0, 204.8, 240.0])]:
+        band_map = dmel_mod.default_band_map(N_MELS, len(lams))
+        ref_feat, ref_grad = multi_oracle(x_np, lams, win, band_map)
+
+        def mfeat(ls, x, _win=win, _hint=tuple(lams)):
+            m = dmel_mod.multi_sigma_mel_spectrogram(
+                x, ls, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
+                optimized=True, window_length=_win, impl="pallas",
+                lambd_hint=list(_hint))
+            return ops.accurate_log(m + 1e-10)
+
+        lj = jnp.asarray(lams, jnp.float32)
+        got = np.asarray(jax.jit(mfeat)(lj, xj))
+        ferr = float(np.max(np.abs(got - ref_feat)))
+        g = np.asarray(jax.jit(jax.grad(
+            lambda ls, x: mfeat(ls, x).sum()))(lj, xj))
+        gerr = float(np.max(np.abs(g - ref_grad)
+                            / np.maximum(np.abs(ref_grad), 1e-30)))
+        ok = ferr <= 1e-4 and gerr <= 1e-2
+        print(f"multi-sigma K=3 win={win:5d} route=specband "
+              f"logmel_err={ferr:.2e} (gate 1e-04) "
+              f"dlambda_rel={gerr:.2e} (gate 1e-02) "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(("K3", win))
 
     if failures:
         print(f"FAILED cases: {failures}")

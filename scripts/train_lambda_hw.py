@@ -1,0 +1,146 @@
+"""Train lambda THROUGH THE SPECBAND BACKWARD on hardware and overlay
+the trajectory against the framed-kernel and exact-XLA paths (VERDICT
+r2 next #2: the 2.4e-3-relative all-bf16 specband adjoint was never
+shown harmless to an actual lambda trajectory).
+
+Setup: a gauss-pulse surrogate task at bucket 1024 (sigma_ref = 128,
+n_points = 8000, hop 80 — the audio_mnist-scale geometry), identical
+data/model/seed across three `fit()` runs differing ONLY in the DMEL
+impl: "pallas" (specband via the production lambd_hint dispatch),
+"pallas_framed" (tight 1.3e-4 adjoint), "xla" (exact).  Per-epoch
+lambda estimates land in results/lambda_trajectory_hw.csv + .png,
+with the max cross-path deviation printed and appended to the csv
+header.
+
+Run on TPU: python scripts/train_lambda_hw.py [--epochs N]
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--init-lambd", type=float, default=90.0)
+    ap.add_argument("--sigma-ref", type=float, default=128.0)
+    ap.add_argument("--impls", default="pallas,pallas_framed,xla",
+                    help="comma list (CPU smoke: --impls xla)")
+    ap.add_argument("--n", type=int, default=1536)
+    ap.add_argument("--lr-tf", type=float, default=100.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dmel_tpu import training
+    from dmel_tpu.data.synthetic import make_gauss_pulse_dataset
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
+
+    n_points = 8000
+    ds = make_gauss_pulse_dataset(sigma=args.sigma_ref, n_points=n_points,
+                                  noise_std=0.5, n_samples=args.n, seed=0)
+    n = len(ds.xs)
+    n_tr = int(0.85 * n)
+    from dmel_tpu.data import ArrayDataset
+    tr = ArrayDataset(ds.xs[:n_tr], ds.ys[:n_tr], 8000)
+    va = ArrayDataset(ds.xs[n_tr:], ds.ys[n_tr:], 8000)
+
+    base_cfg = dict(
+        model_name="mel_linear_net", dataset_name="time_frequency",
+        init_lambd=args.init_lambd, n_points=n_points, hop_length=80,
+        optimized=True, normalize_window=False, n_mels=64,
+        resample_rate=8000, energy_normalize=True, optimizer_name="sgd",
+        lr_model=1e-3, lr_tf=args.lr_tf, trainable=True, batch_size=64,
+        max_epochs=args.epochs, patience=10_000)
+
+    impls = tuple(args.impls.split(","))
+    trajs = {}
+    for impl in impls:
+        cfg = dict(base_cfg, impl=impl)
+        state, hist = training.fit(cfg, tr, va, seed=0, verbose=0)
+        lams = [r["lambd_est"] for r in hist["records"]]
+        accs = [r["valid_acc"] for r in hist["records"]]
+        trajs[impl] = dict(lambd=lams, valid_acc=accs)
+        print(f"{impl}: lambd {args.init_lambd} -> {lams[-1]:.3f} "
+              f"(per-epoch: {[round(v, 2) for v in lams]}), "
+              f"final valid acc {accs[-1]:.3f}", flush=True)
+
+    ep = list(range(args.epochs))
+    dev_fr = dev_xla = span = None
+    if {"pallas", "pallas_framed", "xla"} <= set(trajs):
+        dev_fr = max(abs(a - b) for a, b in zip(
+            trajs["pallas"]["lambd"], trajs["pallas_framed"]["lambd"]))
+        dev_xla = max(abs(a - b) for a, b in zip(
+            trajs["pallas"]["lambd"], trajs["xla"]["lambd"]))
+        span = max(abs(v - args.init_lambd)
+                   for v in trajs["xla"]["lambd"]) or 1.0
+        print(f"max |specband - framed| = {dev_fr:.4f}, "
+              f"max |specband - xla| = {dev_xla:.4f}, "
+              f"xla trajectory span = {span:.3f} "
+              f"(relative dev vs span: {dev_xla / span:.4%})", flush=True)
+
+    os.makedirs(RESULTS, exist_ok=True)
+    csv_path = os.path.join(RESULTS, "lambda_trajectory_hw.csv")
+    with open(csv_path, "w") as f:
+        f.write(f"# sigma_ref={args.sigma_ref} init={args.init_lambd} "
+                f"lr_tf={base_cfg['lr_tf']} "
+                f"max|specband-xla|={dev_xla} "
+                f"max|specband-framed|={dev_fr} span={span}\n")
+        f.write("epoch," + ",".join(f"lambd_{i}" for i in impls) + ","
+                + ",".join(f"acc_{i}" for i in impls) + "\n")
+        for i in ep:
+            f.write(",".join(
+                [str(i)]
+                + [f"{trajs[im]['lambd'][i]:.6f}" for im in impls]
+                + [f"{trajs[im]['valid_acc'][i]:.4f}" for im in impls])
+                + "\n")
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(7, 4.2))
+        styles = {"pallas": ("specband (bf16 adjoint, 2.4e-3 dl)", "-"),
+                  "pallas_framed": ("framed (1.3e-4 dl)", "--"),
+                  "xla": ("exact XLA", ":")}
+        for impl, (label, ls) in styles.items():
+            if impl in trajs:
+                ax.plot(ep, trajs[impl]["lambd"], ls, label=label, lw=2)
+        ax.axhline(args.sigma_ref, color="gray", lw=0.8, alpha=0.6)
+        ax.text(0.1, args.sigma_ref, " sigma_ref", va="bottom",
+                color="gray")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("lambda estimate")
+        dev_s = f"{dev_xla:.3f}" if dev_xla is not None else "n/a"
+        ax.set_title("lambda trajectory through each backward "
+                     f"(TPU, bucket 1024; max dev vs exact: {dev_s})")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(RESULTS, "lambda_trajectory_hw.png"),
+                    dpi=140)
+    except Exception as e:  # headless plotting is best-effort
+        print(f"figure skipped: {e}", file=sys.stderr)
+
+    with open(os.path.join(RESULTS, "lambda_trajectory_hw.json"), "w") as f:
+        json.dump({"config": base_cfg, "sigma_ref": args.sigma_ref,
+                   "trajectories": trajs,
+                   "max_dev_specband_vs_xla": dev_xla,
+                   "max_dev_specband_vs_framed": dev_fr,
+                   "xla_span": span}, f, indent=1)
+    print("written:", csv_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

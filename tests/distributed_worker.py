@@ -87,3 +87,32 @@ gradnorm = float(jnp.sqrt(sum(jnp.sum(g * g)
                               for g in jax.tree.leaves(grads))))
 print(f"RESULT {float(loss):.8f} {gradnorm:.8f} {psum_check:.1f}",
       flush=True)
+
+# --- the PUBLIC training.fit() across processes (VERDICT r2 next #3):
+# the same entrypoint single-host users call, multi-epoch, with early
+# stopping and best-checkpointing; only rank 0 writes the file.  Every
+# rank must report an identical history and final parameters.
+ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+from dmel_tpu import data as ddata, training
+
+cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+           init_lambd=10.0, n_points=256, hop_length=32,
+           optimized=False, normalize_window=False, n_mels=16,
+           resample_rate=8000, energy_normalize=True,
+           optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+           trainable=True, batch_size=8, max_epochs=3, patience=2)
+drng = np.random.default_rng(0)
+tr = ddata.ArrayDataset(
+    drng.standard_normal((32, 256)).astype(np.float32),
+    drng.integers(0, 10, 32).astype(np.int32), 8000)
+vrng = np.random.default_rng(1)
+va = ddata.ArrayDataset(
+    vrng.standard_normal((16, 256)).astype(np.float32),
+    vrng.integers(0, 10, 16).astype(np.int32), 8000)
+state, hist = training.fit(cfg, tr, va, seed=0, mesh=mesh,
+                           checkpoint_dir=ckpt_dir)
+pdig = float(sum(jnp.sum(jnp.abs(p))
+                 for p in jax.tree.leaves(state["params"])))
+losses = ",".join(f"{r['loss']:.8f}" for r in hist["records"])
+print(f"FITRESULT {losses} {hist['best_valid_loss']:.8f} "
+      f"{hist['records'][-1]['lambd_est']:.8f} {pdig:.6f}", flush=True)

@@ -22,34 +22,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("num_procs", [2])
-def test_two_process_dp_step(num_procs):
+def test_two_process_dp_step(num_procs, tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     port = 29531
+    ckpt = tmp_path / "dist_ckpt"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(num_procs), str(port)],
+            [sys.executable, WORKER, str(i), str(num_procs), str(port),
+             str(ckpt / f"rank{i}")],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
         for i in range(num_procs)
     ]
-    outs = []
+    outs, fits = [], []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         assert p.returncode == 0, err.decode()[-2000:]
-        lines = [ln for ln in out.decode().splitlines()
-                 if ln.startswith("RESULT ")]
-        assert lines, out.decode()[-500:]
+        text = out.decode()
+        lines = [ln for ln in text.splitlines() if ln.startswith("RESULT ")]
+        assert lines, text[-500:]
         outs.append(lines[-1])
+        flines = [ln for ln in text.splitlines()
+                  if ln.startswith("FITRESULT ")]
+        assert flines, text[-500:]
+        fits.append(flines[-1])
 
     # identical loss / grad-norm / psum across processes => the
     # all-reduce really spanned both processes
     assert outs[0] == outs[1], outs
     # the reduction saw all 4 global devices (2 per process)
     assert outs[0].split()[-1] == "4.0", outs[0]
+
+    # the PUBLIC fit() entrypoint ran multi-process: per-epoch losses,
+    # early-stopping state and final params bit-identical across ranks
+    assert fits[0] == fits[1], fits
+    # only rank 0 wrote the best-model checkpoint
+    assert (ckpt / "rank0" / "best_model").exists()
+    assert not (ckpt / "rank1" / "best_model").exists()

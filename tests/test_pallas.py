@@ -352,8 +352,77 @@ class TestSpecbandKernel:
         assert specband_dmel.supported(1024, 80, 64)
         assert not specband_dmel.supported(1000, 80, 64)  # non-lane n_fft
         assert not specband_dmel.supported(1024, 7, 64)   # G = 128 > 16
-        assert not specband_dmel.supported(4096, 80, 64)  # too large
+        assert specband_dmel.supported(4096, 80, 64)      # streamed bases
+        assert not specband_dmel.supported(8192, 80, 64)  # too large
         assert not specband_dmel.supported(256, 160, 64)  # hop > n_fft/2
+
+    @pytest.mark.parametrize("n_fft,lam", [(2048, 200.0), (4096, 400.0)])
+    def test_large_nfft_streamed_bases(self, rng, n_fft, lam, monkeypatch):
+        """n_fft 2048/4096 run the chunk-streamed base GEMM + chained
+        recurrence (round 3: the reference's 300 ms-init bucket,
+        search_spaces.py:29,61 -> optimized_window_length(400)=4096).
+        Forward parity vs the exact XLA path and the dlambda adjoint
+        class must match the certified <=1024 behavior."""
+        from dmel_tpu.ops import stft
+        from dmel_tpu.ops.pallas import framed_dmel as fr
+        assert stft.specband_ok(lam, n_fft, n_fft, 80)
+
+        def boom(*a, **k):
+            raise AssertionError("expected the specband kernel")
+
+        monkeypatch.setattr(fr, "framed_mel_power", boom)
+        monkeypatch.setattr(fused_dmel, "dmel_power", boom)
+        x = jnp.asarray(
+            rng.standard_normal((2, n_fft + 600)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=n_fft)
+
+        def logmel(l, impl, hint=None):
+            return jnp.log(ops.mel_spectrogram(
+                x, l, impl=impl, lambd_hint=hint, **kw) + 1e-10)
+
+        got = logmel(lam, "pallas", lam)
+        want = logmel(lam, "xla")
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+        g_k = float(jax.grad(lambda l: logmel(l, "pallas", lam).sum())(lam))
+        g_r = float(jax.grad(lambda l: logmel(l, "xla").sum())(lam))
+        assert abs(g_k - g_r) < 1e-2 * max(1.0, abs(g_r))
+
+    def test_multi_sigma_large_nfft(self, rng):
+        """K=3 sigmas share one resident-basis spectra pass at the
+        round-3 n_fft=2048 geometry (VERDICT r2 next #7)."""
+        from dmel_tpu.ops import dmel
+        x = jnp.asarray(rng.standard_normal((1, 2600)).astype(np.float32))
+        lams = jnp.asarray([180.0, 204.8, 240.0])
+        hints = [180.0, 204.8, 240.0]
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=2048)
+        ref = dmel.multi_sigma_mel_spectrogram(x, lams, **kw)
+        got = dmel.multi_sigma_mel_spectrogram(
+            x, lams, impl="pallas", lambd_hint=hints, **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                    - jnp.log(ref + 1e-10))))
+        assert err < 1e-4, err
+
+    def test_chunk_streamed_bases_fallback(self, rng, monkeypatch):
+        """The chunk-streaming path (n_chunks > 1) is the VMEM fallback
+        when resident bases don't fit; production geometries keep them
+        resident (chunk = n_fft), so force streaming here and check it
+        is numerically identical-class to the resident path."""
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        n_fft, lam, hop = 2048, 200.0, 80
+        x = jnp.asarray(
+            rng.standard_normal((2, 2600)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=hop,
+                  optimized=True, window_length=n_fft)
+        want = ops.mel_spectrogram(x, lam, impl="pallas",
+                                   lambd_hint=lam, **kw)
+        monkeypatch.setattr(sb, "_geom",
+                            lambda n, h, k: (256, 2, 256))  # 8 chunks
+        got = ops.mel_spectrogram(x, lam, impl="pallas",
+                                  lambd_hint=lam, **kw)
+        # chunked accumulation reorders the f32 partial sums: ~2e-6
+        assert rel_err(got, want) < 1e-5
 
     def test_multi_sigma_shared_spectra(self, rng):
         """K sigmas through one kernel pass match the XLA multi-sigma
