@@ -108,6 +108,12 @@ class AttBlock(nn.Module):
     def __call__(self, x, train=False):
         att = nn.Conv(self.n_out, (1,), kernel_init=xavier_uniform(),
                       bias_init=zeros, name="att")(x)
+        # bn_att exists in the reference module (panns.py:114) but is
+        # never applied in its forward either — parameter-set parity
+        # only (state-dict imports see the same key set)
+        nn.BatchNorm(use_running_average=True, momentum=0.9,
+                     epsilon=1e-5, name="bn_att")(
+            jnp.zeros((1, 1, self.n_out), x.dtype))
         norm_att = jax.nn.softmax(jnp.clip(att, -10, 10), axis=1)
         cla = nn.Conv(self.n_out, (1,), kernel_init=xavier_uniform(),
                       bias_init=zeros, name="cla")(x)

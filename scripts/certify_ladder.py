@@ -127,10 +127,18 @@ def main():
             return ops.accurate_log(m + 1e-10)
 
         ref_feat, ref_grad = torch_oracle(x_np, lam, win)
-        got = np.asarray(jax.jit(feat)(jnp.float32(lam), xj))
+        for attempt in (1, 2, 3):
+            try:
+                got = np.asarray(jax.jit(feat)(jnp.float32(lam), xj))
+                g = float(jax.jit(jax.grad(
+                    lambda l, x: feat(l, x).sum()))(jnp.float32(lam), xj))
+                break
+            except Exception as e:   # transient relay/remote-compile hiccups
+                if attempt == 3:
+                    raise
+                print(f"  transient failure ({type(e).__name__}), retry "
+                      f"{attempt} ...", file=sys.stderr, flush=True)
         ferr = float(np.max(np.abs(got - ref_feat)))
-        g = float(jax.jit(jax.grad(lambda l, x: feat(l, x).sum()))(
-            jnp.float32(lam), xj))
         gerr = abs(g - ref_grad) / max(abs(ref_grad), 1e-30)
         ok = ferr <= fgate and gerr <= ggate
         print(f"lambda={lam:7.1f} win={win:5d} route={route:17s} "

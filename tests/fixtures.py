@@ -149,3 +149,51 @@ def make_fake_cnn6_checkpoint(path: str, *, seed: int = 0) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save({"model": sd, "iteration": 600000}, path)
     return path
+
+
+def make_fsd50k_tree(root: str, *, n_classes: int = 200,
+                     n_dev: int = 240, n_eval: int = 60, sr: int = 22050,
+                     seed: int = 0) -> str:
+    """Official-layout FSD50K tree (see dmel_tpu/data/fsd.py docstring):
+    FSD50K.ground_truth/{dev,eval,vocabulary}.csv + dev/eval audio dirs.
+    Clips carry 1-3 labels from a ``n_classes``-entry vocabulary (the
+    production head is 200-class, models/registry.py N_CLASSES); the
+    dev split column partitions train/val like the real ground truth."""
+    rng = np.random.default_rng(seed)
+    gt = os.path.join(root, "FSD50K.ground_truth")
+    os.makedirs(gt, exist_ok=True)
+    os.makedirs(os.path.join(root, "FSD50K.dev_audio"), exist_ok=True)
+    os.makedirs(os.path.join(root, "FSD50K.eval_audio"), exist_ok=True)
+    labels = [f"Class_{i:03d}" for i in range(n_classes)]
+    with open(os.path.join(gt, "vocabulary.csv"), "w") as f:
+        f.write("\n".join(f"{i},{lab},/m/fx{i:04d}"
+                          for i, lab in enumerate(labels)) + "\n")
+
+    def clip(f0):
+        n = int(rng.integers(sr // 2, 2 * sr))
+        return speechish(rng, n, sr, f0)
+
+    dev_rows = ["fname,labels,mids,split"]
+    for i in range(n_dev):
+        k = int(rng.integers(1, 4))
+        labs = rng.choice(n_classes, size=k, replace=False)
+        fname = f"dev{i:05d}"
+        write_wav(os.path.join(root, "FSD50K.dev_audio", fname + ".wav"),
+                  clip(150.0 + 3.0 * labs[0]), sr)
+        lab_s = '"' + ",".join(labels[j] for j in labs) + '"'
+        split = "train" if i % 6 else "val"
+        dev_rows.append(f"{fname},{lab_s},/m/x,{split}")
+    with open(os.path.join(gt, "dev.csv"), "w") as f:
+        f.write("\n".join(dev_rows) + "\n")
+    eval_rows = ["fname,labels,mids"]
+    for i in range(n_eval):
+        k = int(rng.integers(1, 4))
+        labs = rng.choice(n_classes, size=k, replace=False)
+        fname = f"ev{i:05d}"
+        write_wav(os.path.join(root, "FSD50K.eval_audio", fname + ".wav"),
+                  clip(150.0 + 3.0 * labs[0]), sr)
+        lab_s = '"' + ",".join(labels[j] for j in labs) + '"'
+        eval_rows.append(f"{fname},{lab_s},/m/x")
+    with open(os.path.join(gt, "eval.csv"), "w") as f:
+        f.write("\n".join(eval_rows) + "\n")
+    return root
