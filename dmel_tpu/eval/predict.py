@@ -102,6 +102,20 @@ def predict_test(sweep_dir: str, data_dir: str, batch_size: int = 32,
     accs, maps, predss, labelss = [], [], [], []
     multilabel = False
     for _, row in df.iterrows():
+        ckpt = os.path.join(str(row["logdir"]), "checkpoint_000000",
+                            "best_model")
+        if not os.path.exists(ckpt):
+            # a trial that diverged before its first valid improvement
+            # has no checkpoint (training/train.py NaN guard) — record
+            # NaN metrics instead of killing the whole prediction pass
+            accs.append(float("nan"))
+            maps.append(float("nan"))
+            predss.append(np.array([]))
+            labelss.append(np.array([]))
+            if verbose:
+                print(f"{os.path.basename(str(row['logdir']))}: no "
+                      "checkpoint (diverged trial) — skipped")
+            continue
         labels, preds = predictions_by_row(row.to_dict(), testloader)
         if labels.ndim == 2:
             # multi-label: headline metric is mAP (PANNs convention,
@@ -114,6 +128,7 @@ def predict_test(sweep_dir: str, data_dir: str, batch_size: int = 32,
             maps.append(m_ap)
         else:
             acc = float(np.mean(labels == preds))
+            maps.append(float("nan"))    # keeps maps aligned with accs
         accs.append(acc)
         predss.append(preds)
         labelss.append(labels)
@@ -127,11 +142,26 @@ def predict_test(sweep_dir: str, data_dir: str, batch_size: int = 32,
     if multilabel:
         df["test_mAP"] = maps
     df.to_csv(os.path.join(sweep_dir, f"{dataset_name}.csv"), index=False)
-    np.save(os.path.join(sweep_dir, f"{dataset_name}_predictionss.npy"),
-            np.asarray(predss))
-    np.save(os.path.join(sweep_dir, f"{dataset_name}_labelss.npy"),
-            np.asarray(labelss))
+    _save_stack(os.path.join(sweep_dir, f"{dataset_name}_predictionss.npy"),
+                predss)
+    _save_stack(os.path.join(sweep_dir, f"{dataset_name}_labelss.npy"),
+                labelss)
     return df
+
+
+def _save_stack(path: str, arrs: list):
+    """Save per-trial arrays; homogeneous lists stack to a dense 2-D
+    array (the reference's layout, predict_test.py:35-36), but a
+    diverged trial contributes an empty array which makes the list
+    ragged — numpy >= 1.24 raises on implicit ragged stacking, so fall
+    back to an object array (np.load(..., allow_pickle=True))."""
+    try:
+        np.save(path, np.asarray(arrs))
+    except ValueError:
+        obj = np.empty(len(arrs), dtype=object)
+        for i, a in enumerate(arrs):
+            obj[i] = a
+        np.save(path, obj, allow_pickle=True)
 
 
 def main(argv=None):

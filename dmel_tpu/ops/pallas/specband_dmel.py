@@ -115,7 +115,8 @@ def supported(n_fft: int, hop_length: int, n_mels: int,
             and 2 * hop_length <= n_fft)  # center-pad coverage bound
 
 
-def _geom(n_fft: int, hop_length: int, k_sig: int):
+def _geom(n_fft: int, hop_length: int, k_sig: int,
+          lowbin_fix: bool = False):
     """(rows, chain, chunk) block geometry per n_fft, VMEM-budget
     driven (~16 MB/core).
 
@@ -133,23 +134,40 @@ def _geom(n_fft: int, hop_length: int, k_sig: int):
       grid steps; chunk = n_fft means the whole basis is VMEM-resident,
       the certified <=1024 layout).
     """
-    if n_fft <= 1024:
-        return (ROWS if k_sig == 1 else ROWS_MULTI), 1, n_fft
     g0 = LANE // gcd(hop_length, LANE)
-    # Large n_fft keeps the bases VMEM-RESIDENT (chunk = n_fft) under a
-    # RAISED scoped-vmem budget: a const-index-map block is fetched
-    # once for the whole grid, so resident bases cost one 19/71 MB HBM
-    # read per dispatch — chunk-streaming them (chunk < n_fft) re-reads
-    # every chunk per (batch, block) pair, which measured DMA-bound at
-    # 4096 (29.4 ms/batch vs ~22 ms of pure basis re-read traffic).
-    # The 16 MB scoped-vmem "cap" round 2 designed against is only
-    # XLA's default scheduling budget, not physical VMEM (a 28 MB
-    # compilation ran fine on v5e).
-    if n_fft == 2048:
-        rows, chain, chunk = (256 if k_sig == 1 else 128), 2, n_fft
+    # Geometry choices are hardware-A/B'd (scripts/ab_specband_geom.py,
+    # v5e, B=128 x 5 s fwd+bwd):
+    # - 1024: chain=2 (g_eff=16) halves the base GEMM -> 2.61 -> 2.42
+    #   ms (+8%); chain=4 regresses (row fill loses to flop savings).
+    # - 2048/4096 keep the bases VMEM-RESIDENT (chunk = n_fft) under a
+    #   RAISED scoped-vmem budget: a const-index-map block is fetched
+    #   once for the whole grid, so resident bases cost one 19/71 MB
+    #   HBM read per dispatch — chunk-streaming them (chunk < n_fft)
+    #   re-reads every chunk per (batch, block) pair, measured
+    #   DMA-BOUND at 4096 (29.4 ms vs ~22 ms of basis re-read).  The
+    #   16 MB scoped-vmem "cap" round 2 designed against is only XLA's
+    #   default scheduling budget, not physical VMEM.
+    # - rows=512 at 2048/4096 (gr 32/16): 5.87 -> 4.62 ms at 2048,
+    #   14.76 -> 11.40 ms at 4096 — base/delta GEMM row fill is the
+    #   dominant lever (roofline: % of peak tracks gr).
+    if n_fft <= 1024:
+        # chain=2 only at the certified 1024 bucket AND only for
+        # shallow-fade compilations: the longer rotation chain costs
+        # ~1-3e-5 of parity margin, which the deep-fade small-lambda
+        # cases (lowbin_fix on, lambda < n_fft/12) cannot afford
+        # (hardware ladder: lambda=36 went 8.8e-5 -> 2.7e-4 with
+        # chain=2) and sub-1024 test geometries don't need
+        chain2 = 2 if (n_fft == 1024 and not lowbin_fix) else 1
+        rows, chain, chunk = ((ROWS, chain2, n_fft) if k_sig == 1
+                              else (ROWS_MULTI, 1, n_fft))
+    elif n_fft == 2048:
+        rows, chain, chunk = (512 if k_sig == 1 else 128), 2, n_fft
     else:                                   # 4096
-        rows, chain, chunk = (256 if k_sig == 1 else 128), 4, n_fft
-    while chain > 1 and rows % (g0 * chain) != 0:
+        rows, chain, chunk = (512 if k_sig == 1 else 128), 4, n_fft
+    # Mosaic needs >= 8 sublanes per block (gr >= 8), and rows must
+    # split evenly into g_eff = chain*g0 phases
+    while chain > 1 and (rows % (g0 * chain) != 0
+                         or rows // (g0 * chain) < 8):
         chain //= 2
     return rows, chain, chunk
 
@@ -645,7 +663,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
                   lowbin_fix=False):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
-    rows, chain, chunk = _geom(n_fft, hop_length, k_sig)
+    rows, chain, chunk = _geom(n_fft, hop_length, k_sig, lowbin_fix)
     n_chunks = n_fft // chunk
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
      nt_g) = _plan(n_fft, hop_length, j_taps, rows, chain)
@@ -740,7 +758,7 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
     xres, tmat, x_primal, nfr, nblk = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
-    rows, chain, chunk = _geom(n_fft, hop_length, k_sig)
+    rows, chain, chunk = _geom(n_fft, hop_length, k_sig, lowbin_fix)
     (g, gr, hop_ext, l_row, n_bins, k_ext, nt, kpad, nyq,
      nt_g) = _plan(n_fft, hop_length, j_taps, rows, chain)
     b = xres.shape[0]

@@ -40,9 +40,22 @@ BCE_LOG_FLOOR = -100.0  # torch binary_cross_entropy clamps log at -100
 
 def bce_loss(probs, one_hot_labels, mask):
     """torch.nn.functional.binary_cross_entropy (mean reduction) with a
-    row-validity mask."""
-    logp = jnp.clip(jnp.log(probs), BCE_LOG_FLOOR)
-    log1mp = jnp.clip(jnp.log1p(-probs), BCE_LOG_FLOOR)
+    row-validity mask.
+
+    The log terms are guarded with ``where`` rather than clipped:
+    ``clip(log(p), -100)`` has a NaN *gradient* at p == 0 (the inf
+    cotangent of log multiplies the clip's zero — inf*0), and a
+    saturated sigmoid reaches exactly 0/1 in f32 within a few training
+    steps on hard batches (round-3 find: this NaN'd whole esc50
+    fixture trials; torch's BCE backward is internally clamped and
+    never NaNs).  Forward values are identical to the clipped form:
+    log(p) < -100 iff p < e^-100, and log1p(-p) < -100 only at p == 1
+    in f32."""
+    p_lo = float(np.exp(-100.0))              # log(p) == -100 boundary
+    safe = jnp.where(probs > p_lo, probs, 1.0)
+    logp = jnp.where(probs > p_lo, jnp.log(safe), BCE_LOG_FLOOR)
+    safe1 = jnp.where(probs < 1.0, probs, 0.0)
+    log1mp = jnp.where(probs < 1.0, jnp.log1p(-safe1), BCE_LOG_FLOOR)
     per_elem = -(one_hot_labels * logp + (1 - one_hot_labels) * log1mp)
     per_row = jnp.mean(per_elem, axis=-1)
     return jnp.sum(per_row * mask) / jnp.maximum(jnp.sum(mask), 1)
@@ -165,7 +178,17 @@ def fit(config: dict, trainset, validset, *,
     validloader = BatchLoader(validset, batch_size, shuffle=False)
 
     def bucket_for(lambd_value):
-        return (optimized_window_length(lambd_value) if optimized else None)
+        if not optimized:
+            return None
+        # clamp to the signal-length bucket: a window longer than the
+        # (center-padded) signal adds nothing — the reference's executed
+        # configs always analyze with win = len(x)
+        # (time_frequency.py:41) — and a diverging lambda would
+        # otherwise request an absurd compilation before the NaN guard
+        # can catch it
+        from dmel_tpu.ops.spectrogram import next_power_of_2
+        cap = next_power_of_2(int(config["n_points"]))
+        return min(optimized_window_length(lambd_value), cap)
 
     def hint_for(wl, lambd_value):
         """Canonical static lambd_hint for the specband kernel gate.
@@ -241,6 +264,7 @@ def fit(config: dict, trainset, validset, *,
         "best_valid_loss": np.inf,
         "init_lambd": current_lambd(params),
         "converged": False,
+        "diverged": False,
         "records": [],
     }
     best_valid_acc, best_valid_loss = 0.0, np.inf
@@ -249,6 +273,19 @@ def fit(config: dict, trainset, validset, *,
 
     for epoch in range(max_epochs):
         lam_now = current_lambd(params)
+        if not np.isfinite(lam_now):
+            # lambda diverged (NaN/inf loss cascade — e.g. a bad
+            # lr_tf/task combination; the reference would crash in
+            # next_power_of_2 here).  Record and stop: the sweep
+            # runner treats a diverged trial as finished so one bad
+            # grid point cannot kill a whole sweep (SURVEY §5 failure
+            # detection); the best checkpoint from earlier finite
+            # epochs is already on disk.
+            history["diverged"] = True
+            if verbose >= 1:
+                print(f"epoch {epoch}: lambda diverged (non-finite); "
+                      "stopping trial")
+            break
         wl = bucket_for(lam_now)
         hint = hint_for(wl, lam_now)
         model, train_step, eval_step = steps_for(wl, hint)
@@ -265,6 +302,8 @@ def fit(config: dict, trainset, validset, *,
                 # reading lambd back each step (one sync); the default
                 # 'epoch' mode has no per-step host reads.
                 lam_now = current_lambd(params)
+                if not np.isfinite(lam_now):
+                    break   # diverged mid-epoch; epoch-boundary guard
                 new_wl = bucket_for(lam_now)
                 new_hint = hint_for(new_wl, lam_now)
                 if (new_wl, new_hint) != (wl, hint):

@@ -89,7 +89,7 @@ def main():
             if rows % (g0 * chain):
                 print(f"n_fft={n_fft} {name}: skipped (rows % g_eff)")
                 continue
-            sb._geom = lambda n, h, k, _g=geom: _g
+            sb._geom = lambda n, h, k, *a, _g=geom, **kw: _g
             try:
                 med, ref = measure(n_fft, lam, iters)
                 drift = (abs(ref - base_ref)

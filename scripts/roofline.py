@@ -29,9 +29,10 @@ HBM_BW = 0.819e12           # bytes/s
 # measured fwd+bwd ms/batch on v5e (B=128 x 5 s @ 8 kHz, hop 80,
 # 64 mels; RTT-amortized on-device loops, this round's runs)
 MEASURED = {
-    1024: dict(lam=128.0, ms=2.60),    # bench headline (J=24)
-    2048: dict(lam=204.8, ms=5.86),    # resident-basis probe (J=12)
-    4096: dict(lam=409.6, ms=14.67),   # resident-basis probe (J=12)
+    # A/B-adopted geometries (scripts/ab_specband_geom.py, round 3)
+    1024: dict(lam=128.0, ms=2.42),    # bench headline (J=24, chain=2)
+    2048: dict(lam=204.8, ms=4.62),    # rows=512, chain=2 (J=12)
+    4096: dict(lam=409.6, ms=11.40),   # rows=512, chain=4 (J=12)
 }
 B, T, SR, HOP, N_MELS = 128, 40000, 8000, 80, 64
 

@@ -34,6 +34,15 @@ def build_fixtures(data_dir, names):
         if not os.path.isdir(marker):
             print("building FSD50K fixture tree ...", flush=True)
             fixtures.make_fsd50k_tree(data_dir)
+    if "esc50" in names:
+        marker = os.path.join(data_dir, "meta")
+        if not os.path.isdir(marker):
+            print("building ESC-50 fixture tree ...", flush=True)
+            # 50 classes x uniform 5 s clips: the loader stacks clips
+            # into one array (real ESC-50 clips are exactly 5 s) and
+            # the esc50 config feeds n_points = 40000 to the models
+            fixtures.make_esc50_tree(data_dir, n_classes=50, per_class=6,
+                                     clip_seconds=5.0)
 
 
 def main():

@@ -418,7 +418,7 @@ class TestSpecbandKernel:
         want = ops.mel_spectrogram(x, lam, impl="pallas",
                                    lambd_hint=lam, **kw)
         monkeypatch.setattr(sb, "_geom",
-                            lambda n, h, k: (256, 2, 256))  # 8 chunks
+                            lambda n, h, k, *a, **kw: (256, 2, 256))
         got = ops.mel_spectrogram(x, lam, impl="pallas",
                                   lambd_hint=lam, **kw)
         # chunked accumulation reorders the f32 partial sums: ~2e-6

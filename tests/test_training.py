@@ -104,6 +104,24 @@ class TestFit:
         # lambda actually moved (trainable=True, lr_tf=1.0)
         assert history["est_lambd"] != pytest.approx(6.38)
 
+    def test_diverged_lambda_stops_gracefully(self):
+        """A NaN loss cascade NaNs lambda; fit() must record a
+        diverged trial and stop instead of crashing in the window
+        bucket selection (the esc50 fixture sweep hit exactly this:
+        round-3 find — SURVEY §5 failure detection)."""
+        import numpy as np
+        cfg = tf_config(model_name="mel_linear_net", n_mels=8,
+                        hop_length=8, resample_rate=8000,
+                        energy_normalize=True, optimized=True,
+                        max_epochs=4, optimizer_name="sgd")
+        tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
+        xs = np.array(tr.xs)
+        xs[0, 0] = np.nan          # one corrupt sample NaNs the epoch
+        tr = data.ArrayDataset(xs, tr.ys, 8000)
+        state, history = training.fit(cfg, tr, va)
+        assert history["diverged"] is True
+        assert len(history["records"]) < 4
+
     def test_frozen_lambd_stays(self):
         cfg = tf_config(trainable=False, max_epochs=1)
         tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
