@@ -27,14 +27,16 @@ VARIANTS = {
     1024: [("r512.c1 (prod)", (512, 1, 1024)),
            ("r512.c2", (512, 2, 1024)),
            ("r512.c4", (512, 4, 1024))],
-    2048: [("r256.c2 (prod)", (256, 2, 2048)),
+    2048: [("r512.c2 (prod)", (512, 2, 2048)),
+           ("r256.c2", (256, 2, 2048)),
            ("r256.c4", (256, 4, 2048)),
-           ("r512.c2", (512, 2, 2048)),
-           ("r512.c4", (512, 4, 2048))],
-    4096: [("r256.c4 (prod)", (256, 4, 4096)),
-           ("r512.c8", (512, 8, 4096)),
-           ("r512.c4", (512, 4, 4096)),
-           ("r256.c8", (256, 8, 4096))],
+           ("r512.c4", (512, 4, 2048)),
+           ("r1024.c2", (1024, 2, 2048))],
+    4096: [("r512.c4 (prod)", (512, 4, 4096)),
+           ("r512.c2", (512, 2, 4096)),
+           ("r768.c4", (768, 4, 4096)),
+           ("r1024.c4", (1024, 4, 4096)),
+           ("r256.c4", (256, 4, 4096))],
 }
 LAMS = {1024: 128.0, 2048: 204.8, 4096: 409.6}
 

@@ -91,6 +91,36 @@ class TestSweep:
         table = deval.produce_table_2(sweep_dir, scales=(0.2, 1.0))
         assert "LinearNet" in table and "DSPEC" in table
 
+    def test_predict_skips_diverged_trial(self, sweep_dir, tmp_path):
+        """A trial that diverged before its first valid improvement has
+        no checkpoint (fit()'s NaN guard); predict must record NaN
+        metrics for it and still save the (now ragged) prediction
+        stacks instead of crashing (round-3 esc50 sweep find)."""
+        import shutil
+        from dmel_tpu import eval as deval
+        sweep = str(tmp_path / "sweep")
+        shutil.copytree(sweep_dir, sweep)
+        # results.csv stores absolute logdirs; point them at the copy
+        import pandas as pd
+        rcsv = os.path.join(sweep, "results.csv")
+        rdf = pd.read_csv(rcsv)
+        rdf["logdir"] = [os.path.join(sweep, os.path.basename(str(p)))
+                         for p in rdf["logdir"]]
+        rdf.to_csv(rcsv, index=False)
+        shutil.rmtree(os.path.join(sweep, "trial_00000",
+                                   "checkpoint_000000"))
+        df = deval.predict_test(sweep, "/tmp", verbose=0)
+        order = [os.path.basename(str(p)) for p in df["logdir"]]
+        i0 = order.index("trial_00000")
+        accs = df["test_accuracy"].to_numpy()
+        assert np.isnan(accs[i0])
+        assert np.isfinite(np.delete(accs, i0)).all()
+        preds = np.load(os.path.join(sweep,
+                                     "time_frequency_predictionss.npy"),
+                        allow_pickle=True)
+        assert len(preds) == len(df) and preds[i0].size == 0
+        assert preds[(i0 + 1) % len(preds)].size > 0
+
     def test_figures(self, sweep_dir, tmp_path):
         from dmel_tpu import eval as deval
         p1 = deval.produce_data_example_plot(str(tmp_path / "demo.png"))
