@@ -150,6 +150,10 @@ def _geom(n_fft: int, hop_length: int, k_sig: int,
     # - rows=512 at 2048/4096 (gr 32/16): 5.87 -> 4.62 ms at 2048,
     #   14.76 -> 11.40 ms at 4096 — base/delta GEMM row fill is the
     #   dominant lever (roofline: % of peak tracks gr).
+    # - chain=2 everywhere for k_sig=1: at 4096 c2 (gr=32) beat c4
+    #   (gr=16) 10.56 vs 11.46 ms even though the base GEMM count
+    #   doubles — row fill dominates again; c1 and rows>512 fail to
+    #   compile at 4096 (VMEM), r1024.c2 at 2048 thrashes (8.58 ms).
     if n_fft <= 1024:
         # chain=2 only at the certified 1024 bucket AND only for
         # shallow-fade compilations: the longer rotation chain costs
@@ -163,7 +167,8 @@ def _geom(n_fft: int, hop_length: int, k_sig: int,
     elif n_fft == 2048:
         rows, chain, chunk = (512 if k_sig == 1 else 128), 2, n_fft
     else:                                   # 4096
-        rows, chain, chunk = (512 if k_sig == 1 else 128), 4, n_fft
+        rows, chain, chunk = ((512, 2, n_fft) if k_sig == 1
+                              else (128, 4, n_fft))
     # Mosaic needs >= 8 sublanes per block (gr >= 8), and rows must
     # split evenly into g_eff = chain*g0 phases
     while chain > 1 and (rows % (g0 * chain) != 0

@@ -90,6 +90,12 @@ def main():
     on_tpu = backend in ("tpu", "axon")
     print(f"backend: {backend}", file=sys.stderr, flush=True)
 
+    # optional win filter: `python scripts/certify_ladder.py 4096`
+    # re-certifies only the given windows (after a geometry change)
+    only_wins = {int(a) for a in sys.argv[1:]} or None
+    cases = [(lam, win) for lam, win in CASES
+             if only_wins is None or win in only_wins]
+
     rng = np.random.default_rng(7)
     x_np = rng.standard_normal((B, T)).astype(np.float32)
     xj = jnp.asarray(x_np)
@@ -97,7 +103,7 @@ def main():
     from dmel_tpu.ops.pallas import framed_dmel
 
     failures = []
-    for lam, win in CASES:
+    for lam, win in cases:
         in_window = stft_mod.specband_ok(lam, win, win, HOP)
         j = stft_mod.specband_j_taps(lam, win)
         fix = stft_mod.lowbin_fix_needed(lam, win)
@@ -184,6 +190,8 @@ def main():
 
     for win, lams in [(1024, [100.0, 115.0, 128.0]),
                       (2048, [180.0, 204.8, 240.0])]:
+        if only_wins is not None and win not in only_wins:
+            continue
         band_map = dmel_mod.default_band_map(N_MELS, len(lams))
         ref_feat, ref_grad = multi_oracle(x_np, lams, win, band_map)
 

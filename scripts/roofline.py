@@ -32,7 +32,7 @@ MEASURED = {
     # A/B-adopted geometries (scripts/ab_specband_geom.py, round 3)
     1024: dict(lam=128.0, ms=2.42),    # bench headline (J=24, chain=2)
     2048: dict(lam=204.8, ms=4.62),    # rows=512, chain=2 (J=12)
-    4096: dict(lam=409.6, ms=11.40),   # rows=512, chain=4 (J=12)
+    4096: dict(lam=409.6, ms=10.56),   # rows=512, chain=2 (J=12)
 }
 B, T, SR, HOP, N_MELS = 128, 40000, 8000, 80, 64
 
