@@ -189,7 +189,8 @@ def main():
         return np.stack(outs), lam_t.grad.numpy()
 
     for win, lams in [(1024, [100.0, 115.0, 128.0]),
-                      (2048, [180.0, 204.8, 240.0])]:
+                      (2048, [180.0, 204.8, 240.0]),
+                      (4096, [360.0, 409.6, 480.0])]:
         if only_wins is not None and win not in only_wins:
             continue
         band_map = dmel_mod.default_band_map(N_MELS, len(lams))

@@ -404,6 +404,23 @@ class TestSpecbandKernel:
                                     - jnp.log(ref + 1e-10))))
         assert err < 1e-4, err
 
+    def test_geom_adopted_and_lowbin_gated(self):
+        """Block geometries are the hardware-A/B'd picks: chain=2 with
+        rows=512 at every production bucket for K=1 — EXCEPT deep-fade
+        (lowbin) 1024 compilations, where the longer rotation chain
+        costs ~2e-4 of parity (hardware ladder: lambda=36 went 8.8e-5
+        -> 2.7e-4 with chain=2), so they must keep chain=1."""
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        assert sb._geom(1024, 80, 1) == (512, 2, 1024)
+        assert sb._geom(2048, 80, 1) == (512, 2, 2048)
+        assert sb._geom(4096, 80, 1) == (512, 2, 4096)
+        assert sb._geom(1024, 80, 1, True) == (512, 1, 1024)
+        # multi-sigma keeps smaller rows; the gr >= 8 Mosaic rule
+        # reduces its chain automatically
+        rows, chain, chunk = sb._geom(4096, 80, 3)
+        g0 = 128 // np.gcd(80, 128)
+        assert rows % (g0 * chain) == 0 and rows // (g0 * chain) >= 8
+
     def test_chunk_streamed_bases_fallback(self, rng, monkeypatch):
         """The chunk-streaming path (n_chunks > 1) is the VMEM fallback
         when resident bases don't fit; production geometries keep them
