@@ -330,11 +330,21 @@ def main():
 
     results = {}
     for name, feat in candidates.items():
-        try:
-            ferr, gerr = check_parity(feat, x_par, ref_feat, ref_grad)
-            med, lo, hi = measure_jax(to_loss(feat), rng)
-        except Exception as e:
-            log(f"{name}: FAILED ({type(e).__name__}: {e})")
+        # one bounded retry: the tunneled relay occasionally drops a
+        # remote compile ("response body closed ..."); a candidate —
+        # possibly the headline — must not be lost to one hiccup
+        for attempt in (1, 2):
+            try:
+                ferr, gerr = check_parity(feat, x_par, ref_feat, ref_grad)
+                med, lo, hi = measure_jax(to_loss(feat), rng)
+                break
+            except Exception as e:
+                if attempt == 2:
+                    log(f"{name}: FAILED ({type(e).__name__}: {e})")
+                else:
+                    log(f"{name}: transient failure "
+                        f"({type(e).__name__}), retrying ...")
+        else:
             continue
         ok = ferr <= PARITY_GATE and gerr <= GRAD_GATE
         log(f"{name}: {med * 1e3:.2f} ms/batch "
