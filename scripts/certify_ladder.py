@@ -49,7 +49,13 @@ CASES = ([(lam, 1024) for lam in
          # win=4096 — the reference's 300 ms production arm lambda=400
          # (search_spaces.py:29,61), J=12/J=24 bands, fallback 600
          + [(lam, 2048) for lam in (175.0, 204.8, 230.0, 256.0, 300.0)]
-         + [(lam, 4096) for lam in (345.0, 400.0, 500.0, 600.0)])
+         + [(lam, 4096) for lam in (345.0, 400.0, 500.0, 600.0)]
+         # the reference's LITERAL esc50 geometry: optimized mode keeps
+         # win = len(x) = 40000 (time_frequency.py:41 — the truncation
+         # branch at :39 is dead), so every executed esc50 trial STFTs
+         # at n_fft=40000; certify the 300 ms arm (lambda=400) and the
+         # mid arm (46.7) there on the XLA long-window path
+         + [(lam, 40000) for lam in (46.7, 400.0)])
 
 
 def torch_oracle(x_np, lambd, win):
@@ -102,6 +108,10 @@ def main():
 
     from dmel_tpu.ops.pallas import framed_dmel
 
+    def fused_dmel_max():
+        from dmel_tpu.ops.pallas import fused_dmel
+        return fused_dmel.MAX_N_FFT
+
     failures = []
     for lam, win in cases:
         in_window = stft_mod.specband_ok(lam, win, win, HOP)
@@ -118,6 +128,12 @@ def main():
             fgate, ggate = 1e-4, 1e-2
         elif framed_dmel.supported(win, HOP, N_MELS):
             route = "framed(+lb)" if fix else "framed()"
+            fgate, ggate = 1e-4, 1e-3
+        elif win > fused_dmel_max():
+            # beyond every kernel: auto dispatch takes the exact XLA
+            # FFT path (ops/dmel.py long-window fallback) — the
+            # reference's literal esc50/audio_mnist faithful geometries
+            route = "xla(fft long-win)"
             fgate, ggate = 1e-4, 1e-3
         else:
             # large-n_fft lambdas outside the truncation window fall to
