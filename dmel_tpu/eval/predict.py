@@ -18,7 +18,7 @@ from dmel_tpu.data.loader import BatchLoader
 from dmel_tpu.data.registry import get_dataset_by_config
 from dmel_tpu.experiments.runner import get_config_by_row, load_results
 from dmel_tpu.models.registry import get_model_by_config
-from dmel_tpu.ops.spectrogram import optimized_window_length
+from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training.checkpoint import load_checkpoint
 
 
@@ -62,8 +62,11 @@ def predictions_by_row(row: dict, testloader) -> tuple:
 
     wl = None
     if config.get("optimized", False):
-        wl = optimized_window_length(
-            float(np.asarray(params["spectrogram_layer"]["lambd"])))
+        # SAME clamp as training's bucket_for: the checkpoint must be
+        # evaluated at the window geometry it trained/validated at
+        wl = bucketed_window_length(
+            float(np.asarray(params["spectrogram_layer"]["lambd"])),
+            int(config["n_points"]))
     model = get_model_by_config(config, window_length=wl)
 
     @jax.jit

@@ -66,7 +66,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dmel_tpu.ops.mel import melscale_fbanks
 from dmel_tpu.ops.stft import num_frames, SPECGEMM_J_TAPS
 
 LANE = 128
@@ -94,24 +93,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-#: largest n_fft the kernel serves.  Above 1024 the four hi/lo-split
-#: DFT bases (4 x n_fft x kpad bf16: ~19 MB at 2048, ~71 MB at 4096) no
-#: longer fit the ~16 MB/core VMEM, so the base GEMM's contraction is
-#: CHUNKED over a third grid dimension and Pallas streams (chunk, kpad)
-#: basis tiles from HBM (double-buffered by the pipeline) into a
-#: persistent spectra accumulator — the round-2 VMEM cap killed here
-#: (VERDICT r2 next #1: the reference's 300 ms-init experiments live at
-#: bucket 4096, /root/reference/search_spaces.py:29,61).
+#: largest n_fft the kernel serves (the reference's 300 ms-init
+#: experiments live at bucket 4096, /root/reference/search_spaces.py:
+#: 29,61).  Above 1024 the hi/lo-split DFT bases (~19 MB at 2048,
+#: ~71 MB at 4096) exceed XLA's DEFAULT 16 MB scoped-vmem budget; the
+#: production mechanism is RESIDENT bases under a raised
+#: CompilerParams vmem limit (_geom returns chunk = n_fft; the budget
+#: cap is scheduling-only, not physical VMEM).  A chunk-streaming
+#: fallback (chunk < n_fft: basis tiles double-buffered from HBM into
+#: a persistent spectra accumulator over a third grid dimension) is
+#: kept for geometries that can't stay resident, but it re-reads the
+#: bases per (batch, block) pair and measured DMA-bound at 4096
+#: (29.4 ms vs 14.7 resident) — no production geometry uses it.
 SPECBAND_MAX_NFFT = 4096
 
 
 def supported(n_fft: int, hop_length: int, n_mels: int,
               j_taps: int = SPECGEMM_J_TAPS) -> bool:
     """Static geometry guard (the lambda-value guard is
-    stft.specband_ok, decided by the caller outside jit)."""
+    stft.specband_ok, decided by the caller outside jit).
+
+    Above 1024, only the power-of-2 buckets {2048, 4096} are accepted:
+    _geom's block geometry and VMEM budget are tuned and
+    hardware-certified per bucket, and a non-pow2 size in between
+    would silently ride an uncertified geometry."""
     g = LANE // gcd(hop_length, LANE)
     return (n_fft % LANE == 0 and g <= 16 and n_mels <= MEL_PAD
-            and n_fft <= SPECBAND_MAX_NFFT and 2 * j_taps < LANE
+            and (n_fft <= 1024 or n_fft in (2048, 4096))
+            and 2 * j_taps < LANE
             and 2 * hop_length <= n_fft)  # center-pad coverage bound
 
 

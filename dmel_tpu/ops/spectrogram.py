@@ -44,6 +44,18 @@ def optimized_window_length(lambd_value: float, n_stds: int = 6) -> int:
     return next_power_of_2(abs(float(lambd_value)) * n_stds)
 
 
+def bucketed_window_length(lambd_value: float, n_points: int,
+                           n_stds: int = 6) -> int:
+    """`optimized_window_length` clamped to the signal-length pow2
+    bucket: a window longer than the (center-padded) signal adds
+    nothing — the reference's executed configs always analyze with
+    win = len(x) (time_frequency.py:41).  Training, eval and predict
+    must all use THIS so a checkpoint whose lambda drifted past
+    n_points/n_stds is evaluated at the same geometry it trained at."""
+    return min(optimized_window_length(lambd_value, n_stds),
+               next_power_of_2(int(n_points)))
+
+
 def spectrogram(x: jnp.ndarray, lambd, *, optimized: bool = False,
                 hop_length: int = 1, norm: bool = False,
                 window_length: int | None = None,

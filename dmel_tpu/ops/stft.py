@@ -409,6 +409,44 @@ def specband_j_taps(lambd_value: float, n_fft: int) -> int | None:
     return None
 
 
+def specband_compile_hint(lambd_value: float, n_fft: int,
+                          hop_length: int) -> float | None:
+    """Canonical static ``lambd_hint`` for the specband dispatch:
+    a representative lambda of the current STATIC-SWITCH region — same
+    adaptive-tap J bucket (:func:`specband_j_taps`) AND same lowbin-fix
+    flag (:func:`lowbin_fix_needed`) as the actual lambda — so training
+    compiles one kernel per (window bucket, J, lowbin) region instead
+    of per lambda value.  None when the lambda is outside the
+    truncation window (callers keep the framed/XLA path).
+
+    Preserving the lowbin flag matters (round-3 review find): the
+    J-bucket LOWER edge alone is always below the lowbin threshold
+    n_fft/12, which would force every training compile onto the
+    deep-fade precision ladder — disabling the chain=2 block geometry
+    at 1024 and paying ~+10% fwd flops for top-of-bucket lambdas that
+    do not need it."""
+    if not specband_ok(lambd_value, n_fft, n_fft, hop_length):
+        return None
+    j = specband_j_taps(lambd_value, n_fft)
+    lb = lowbin_fix_needed(lambd_value, n_fft)
+    if lb:
+        # deep-fade region: the J-bucket lower edge lies inside it
+        # (1.001: guard against float rounding at the bucket edge)
+        hint = 1.001 * 5.0 * n_fft / (2.0 * math.pi * j)
+    elif abs(float(lambd_value)) > _SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC * n_fft:
+        hint = 1.001 * _SPECBAND_SIDELOBE_MAX_LAMBDA_FRAC * n_fft
+    else:
+        # reduced-J band above the lowbin threshold
+        hint = 1.001 * LOWBIN_FIX_MAX_LAMBDA_FRAC * n_fft
+    # the representative must reproduce BOTH static switches; fall back
+    # to the exact lambda (per-value compile, always correct)
+    if (specband_j_taps(hint, n_fft) != j
+            or lowbin_fix_needed(hint, n_fft) != lb
+            or not specband_ok(hint, n_fft, n_fft, hop_length)):
+        hint = abs(float(lambd_value))
+    return hint
+
+
 def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,
                  precision=jax.lax.Precision.HIGHEST):
     """Truncated spectrum of the (padded) window: ``(WR, WI)`` for taps

@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dmel_tpu.data.loader import BatchLoader
 from dmel_tpu.models.registry import get_model_by_config, n_classes_for
-from dmel_tpu.ops.spectrogram import optimized_window_length
+from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training.train import _loss_and_metrics
 
 
@@ -109,7 +109,8 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
 
     wl = None
     if c0.get("optimized", False):
-        wl = max(optimized_window_length(float(c["init_lambd"]))
+        wl = max(bucketed_window_length(float(c["init_lambd"]),
+                                        int(c0["n_points"]))
                  for c in configs)
     model = get_model_by_config(c0, window_length=wl)
 

@@ -31,7 +31,8 @@ import optax
 
 from dmel_tpu.data.loader import BatchLoader
 from dmel_tpu.models.registry import get_model_by_config, n_classes_for
-from dmel_tpu.ops.spectrogram import optimized_window_length
+from dmel_tpu.ops.spectrogram import (bucketed_window_length,
+                                      optimized_window_length)
 from dmel_tpu.training import checkpoint as ckpt
 from dmel_tpu.training.optim import build_optimizer
 
@@ -180,34 +181,22 @@ def fit(config: dict, trainset, validset, *,
     def bucket_for(lambd_value):
         if not optimized:
             return None
-        # clamp to the signal-length bucket: a window longer than the
-        # (center-padded) signal adds nothing — the reference's executed
-        # configs always analyze with win = len(x)
-        # (time_frequency.py:41) — and a diverging lambda would
-        # otherwise request an absurd compilation before the NaN guard
-        # can catch it
-        from dmel_tpu.ops.spectrogram import next_power_of_2
-        cap = next_power_of_2(int(config["n_points"]))
-        return min(optimized_window_length(lambd_value), cap)
+        # signal-length clamp (a diverging lambda would otherwise
+        # request an absurd compilation before the NaN guard catches
+        # it) — shared with eval/predict so checkpoints are always
+        # evaluated at the geometry they trained at
+        return bucketed_window_length(lambd_value, int(config["n_points"]))
 
     def hint_for(wl, lambd_value):
-        """Canonical static lambd_hint for the specband kernel gate.
-        Returns the lower lambda edge of the current adaptive-tap (J)
-        bucket whenever lambda sits inside the truncation window — one
-        compile per (window bucket, J bucket), not per lambda value;
-        None keeps the framed-kernel/XLA path."""
+        """Canonical static lambd_hint for the specband kernel gate:
+        one compile per (window bucket, J, lowbin) static-switch region
+        (ops.stft.specband_compile_hint); None keeps the framed/XLA
+        path."""
         if config.get("impl") != "pallas" or wl is None:
             return None
-        import math
-
-        from dmel_tpu.ops.stft import specband_ok, specband_j_taps
-        if not specband_ok(lambd_value, wl, wl,
-                           int(config["hop_length"])):
-            return None
-        j = specband_j_taps(lambd_value, wl)
-        # representative that maps back to the same J in the dispatch
-        # (1.001: guard against float rounding at the bucket edge)
-        return 1.001 * 5.0 * wl / (2.0 * math.pi * j)
+        from dmel_tpu.ops.stft import specband_compile_hint
+        return specband_compile_hint(lambd_value, wl,
+                                     int(config["hop_length"]))
 
     # --- model/step-fn cache keyed by (window bucket, specband hint) --
     step_cache: dict = {}
@@ -385,7 +374,8 @@ def predict(config: dict, state: dict, dataset, batch_size: int = 32):
     """Argmax predictions over a dataset split (utils.py:263-286)."""
     wl = None
     if config.get("optimized", False):
-        wl = optimized_window_length(current_lambd(state["params"]))
+        wl = bucketed_window_length(current_lambd(state["params"]),
+                                    int(config["n_points"]))
     model = get_model_by_config(config, window_length=wl)
 
     @jax.jit

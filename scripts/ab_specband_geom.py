@@ -24,16 +24,16 @@ B, T, SR, HOP, NM = 128, 40000, 8000, 80, 64
 #: variants per n_fft: (rows, chain, chunk) — chunk = n_fft keeps the
 #: bases resident; vmem budgets are set inside the kernel call
 VARIANTS = {
-    1024: [("r512.c1 (prod)", (512, 1, 1024)),
-           ("r512.c2", (512, 2, 1024)),
+    1024: [("r512.c2 (prod)", (512, 2, 1024)),
+           ("r512.c1 (prod when lowbin)", (512, 1, 1024)),
            ("r512.c4", (512, 4, 1024))],
     2048: [("r512.c2 (prod)", (512, 2, 2048)),
            ("r256.c2", (256, 2, 2048)),
            ("r256.c4", (256, 4, 2048)),
            ("r512.c4", (512, 4, 2048)),
            ("r1024.c2", (1024, 2, 2048))],
-    4096: [("r512.c4 (prod)", (512, 4, 4096)),
-           ("r512.c2", (512, 2, 4096)),
+    4096: [("r512.c2 (prod)", (512, 2, 4096)),
+           ("r512.c4", (512, 4, 4096)),
            ("r768.c4", (768, 4, 4096)),
            ("r1024.c4", (1024, 4, 4096)),
            ("r256.c4", (256, 4, 4096))],
@@ -75,6 +75,9 @@ def measure(n_fft, lam, iters):
               and 0.5 * abs(ref * iters) <= abs(v) <= 2 * abs(ref * iters))
         if ok:
             times.append(dt)
+    if not times:
+        raise RuntimeError("no repeat passed the grad sanity window "
+                           "(wedged relay / garbage recompile?)")
     return float(np.median(times)), ref
 
 

@@ -140,6 +140,9 @@ def main():
                         times.append(dt)
                     else:
                         log(f"  suspicious value {v} vs {expect}")
+                if not times:
+                    raise RuntimeError(
+                        "no repeat passed the grad sanity window")
                 med = float(np.median(times))
                 aps = B * T / SR / med
                 ok = ferr <= 1e-4 and gerr <= 1e-2

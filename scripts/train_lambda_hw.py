@@ -77,7 +77,9 @@ def main():
               f"(per-epoch: {[round(v, 2) for v in lams]}), "
               f"final valid acc {accs[-1]:.3f}", flush=True)
 
-    ep = list(range(args.epochs))
+    # fit() may return fewer records than max_epochs (early stopping /
+    # the diverged-lambda guard); index only epochs every impl reached
+    ep = list(range(min(len(t["lambd"]) for t in trajs.values())))
     dev_fr = dev_xla = span = None
     if {"pallas", "pallas_framed", "xla"} <= set(trajs):
         dev_fr = max(abs(a - b) for a, b in zip(

@@ -309,6 +309,34 @@ class TestSpecGemm:
         assert not specgemm_ok(30.0, 1024, 1024)     # 4.4 sigma_f: out
         assert specgemm_ok(40.0, 1024, 1024)         # 5.9 sigma_f: in
 
+    def test_compile_hint_preserves_static_switches(self):
+        """The training-loop hint must land in the SAME (J, lowbin)
+        static-switch region as the actual lambda (round-3 review
+        find: the J-bucket lower edge alone is always in the lowbin
+        region, which silently forced every training compile onto the
+        deep-fade ladder and chain=1), while producing a bounded
+        number of distinct compilations per window bucket."""
+        from dmel_tpu.ops.stft import (lowbin_fix_needed,
+                                       specband_compile_hint,
+                                       specband_j_taps, specband_ok)
+        for wl in (1024, 2048, 4096):
+            hints = set()
+            for lam in np.linspace(wl / 24, wl / 8, 257):
+                h = specband_compile_hint(float(lam), wl, 80)
+                if h is None:
+                    assert not specband_ok(lam, wl, wl, 80)
+                    continue
+                assert specband_j_taps(h, wl) == specband_j_taps(lam, wl)
+                assert (lowbin_fix_needed(h, wl)
+                        == lowbin_fix_needed(lam, wl))
+                hints.add(round(h, 6))
+            assert len(hints) <= 5, hints
+        # bench point: lambda=128@1024 is top-of-bucket -> J=24, lowbin
+        # OFF (the chain=2 geometry)
+        h = specband_compile_hint(128.0, 1024, 80)
+        assert specband_j_taps(h, 1024) == 24
+        assert not lowbin_fix_needed(h, 1024)
+
     def test_win_mismatch_raises(self, rng):
         from dmel_tpu.ops.stft import stft_power_specgemm
         x = jnp.asarray(rng.standard_normal(500).astype(np.float32))

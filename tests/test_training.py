@@ -122,6 +122,31 @@ class TestFit:
         assert history["diverged"] is True
         assert len(history["records"]) < 4
 
+    def test_predict_uses_capped_window_bucket(self):
+        """Eval-side rebuilds must apply the SAME signal-length window
+        clamp as training's bucket_for — a checkpoint whose lambda
+        drifted past n_points/6 would otherwise be evaluated at a
+        larger bucket than it ever trained at (round-3 review find)."""
+        from dmel_tpu.ops.spectrogram import (bucketed_window_length,
+                                              optimized_window_length)
+        # lambda past the cap: 6*400 = 2400 -> pow2 4096 > signal 128
+        assert optimized_window_length(400.0) == 4096
+        assert bucketed_window_length(400.0, 128) == 128
+        cfg = tf_config(model_name="mel_linear_net", n_mels=8,
+                        hop_length=8, resample_rate=8000,
+                        energy_normalize=True, optimized=True,
+                        max_epochs=1)
+        tr, va, te = data.get_dataset_by_config(cfg, "/tmp")
+        state, _ = training.fit(cfg, tr, va)
+        # inflate lambda far past the signal-length bucket and predict:
+        # the capped geometry must build and run (uncapped would
+        # construct a 4096-point window layer over a 128-pt signal that
+        # training never compiled)
+        import jax.numpy as jnp
+        state["params"]["spectrogram_layer"]["lambd"] = jnp.float32(400.0)
+        labels, preds = training.predict(cfg, state, te)
+        assert len(labels) == len(preds) == len(te)
+
     def test_frozen_lambd_stays(self):
         cfg = tf_config(trainable=False, max_epochs=1)
         tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
