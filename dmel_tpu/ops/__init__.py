@@ -32,6 +32,7 @@ from dmel_tpu.ops.spectrogram import (  # noqa: F401
     spectrogram,
     next_power_of_2,
     optimized_window_length,
+    bucketed_window_length,
 )
 from dmel_tpu.ops.dmel import (  # noqa: F401
     mel_spectrogram,
