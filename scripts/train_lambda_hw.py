@@ -30,12 +30,12 @@ RESULTS = os.path.join(os.path.dirname(os.path.dirname(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=15)
-    ap.add_argument("--init-lambd", type=float, default=90.0)
+    ap.add_argument("--init-lambd", type=float, default=135.0)
     ap.add_argument("--sigma-ref", type=float, default=128.0)
     ap.add_argument("--impls", default="pallas,pallas_framed,xla",
                     help="comma list (CPU smoke: --impls xla)")
     ap.add_argument("--n", type=int, default=1536)
-    ap.add_argument("--lr-tf", type=float, default=100.0)
+    ap.add_argument("--lr-tf", type=float, default=10.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
