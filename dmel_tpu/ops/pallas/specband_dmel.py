@@ -752,11 +752,14 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         ],
         # large geometries raise XLA's default 16 MB scoped-vmem
         # budget so the hi/lo-split bases stay resident (2048: ~19 MB
-        # bases + ~13 MB working set; 4096: ~71 MB + ~15 MB); the
-        # certified <=1024 compilations keep the default budget
+        # bases + ~13 MB working set; 4096: ~71 MB + ~15 MB); rows>512
+        # blocks at any n_fft also exceed the default (round 2 measured
+        # ROWS=1024 over by 68 KB at n_fft=1024 before learning the cap
+        # is scheduling-only). The certified production <=1024
+        # compilations (rows<=512) keep the default budget.
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
-            if n_fft > 1024 else None),
+            if (n_fft > 1024 or rows > 512) else None),
         interpret=interpret,
     )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
