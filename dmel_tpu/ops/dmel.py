@@ -112,7 +112,19 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 use_specband = (geom_ok and lambd_hint is not None
                                 and n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
                                 and specband_ok(lambd_hint, win_length,
-                                                n_fft, hop_length))
+                                                n_fft, hop_length)
+                                # deep-fade (lowbin) lambdas at the
+                                # large buckets are NOT specband-
+                                # certified: the 1024-lowbin rungs are
+                                # certified at chain=1, but chain=1
+                                # fails to compile at 4096 (VMEM) and
+                                # has no 2048/4096 ladder rungs.
+                                # Production traffic never lands here
+                                # (the window buckets put lambda in
+                                # (win/12, win/6], above the lowbin
+                                # threshold win/12); manual deep-fade
+                                # calls take the exact XLA path.
+                                and not (n_fft > 1024 and lb_fix))
             # adaptive tap count: large lambdas (narrow window spectra)
             # contract fewer band columns — J is static, derived from
             # the same hint that gated the dispatch

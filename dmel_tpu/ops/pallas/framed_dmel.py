@@ -369,7 +369,6 @@ def _bwd(window, n_fft, hop_length, fb_pad, interpret, residuals, dmel_fr):
     c_np, s_np = _bases_np(n_fft, f_pad)
     ct = jnp.asarray(c_np).T.astype(jnp.bfloat16)   # (f_pad, n_fft)
     st = jnp.asarray(s_np).T.astype(jnp.bfloat16)
-    import numpy as np
     fbt = jnp.asarray(np.ascontiguousarray(
         np.swapaxes(np.asarray(fb_pad), 0, 1)))     # (MEL_PAD, f_pad)
 
@@ -412,7 +411,6 @@ def _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max):
     outside any trace (see specband_dmel._np_split_hi_lo: staged
     constant splits can lose their lo plane to XLA's excess-precision
     rewrite under jit)."""
-    import numpy as np
 
     from dmel_tpu.ops.mel import melscale_fbanks_np
     fb = melscale_fbanks_np(n_fft // 2 + 1, f_min, f_max, n_mels,

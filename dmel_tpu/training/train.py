@@ -31,8 +31,7 @@ import optax
 
 from dmel_tpu.data.loader import BatchLoader
 from dmel_tpu.models.registry import get_model_by_config, n_classes_for
-from dmel_tpu.ops.spectrogram import (bucketed_window_length,
-                                      optimized_window_length)
+from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training import checkpoint as ckpt
 from dmel_tpu.training.optim import build_optimizer
 

@@ -97,8 +97,9 @@ def main():
             sb._geom = lambda n, h, k, *a, _g=geom, **kw: _g
             try:
                 med, ref = measure(n_fft, lam, iters)
-                drift = (abs(ref - base_ref)
-                         / max(abs(base_ref), 1e-30)) if base_ref else 0.0
+                drift = ((abs(ref - base_ref)
+                          / max(abs(base_ref), 1e-30))
+                         if base_ref is not None else 0.0)
                 if base_ref is None:
                     base_ref = ref
                 print(f"n_fft={n_fft} {name}: {med*1e3:.2f} ms/batch -> "

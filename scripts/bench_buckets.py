@@ -35,29 +35,8 @@ def log(*a):
 
 
 def torch_oracle(x_np, n_fft, lam):
-    import torch
-    from tests.reference_impl import np_melscale_fbanks
-
-    fb = torch.from_numpy(np_melscale_fbanks(
-        n_fft // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
-    lamt = torch.tensor(float(lam), requires_grad=True)
-    outs, total = [], None
-    for i in range(x_np.shape[0]):
-        xi = torch.from_numpy(x_np[i])
-        xi = xi - xi.mean()
-        m = torch.arange(n_fft).float()
-        w = torch.exp(-0.5 * ((m - n_fft / 2) /
-                              (torch.abs(lamt) + 1e-15)) ** 2)
-        s = torch.stft(xi, n_fft=n_fft, hop_length=HOP, win_length=n_fft,
-                       window=w, return_complex=True, pad_mode="constant")
-        s = torch.abs(s) ** 2
-        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
-        logmel = torch.log(mel + 1e-10)
-        outs.append(logmel.detach().numpy())
-        total = logmel.sum() if total is None else total + logmel.sum()
-    total.backward()
-    return np.stack(outs), float(lamt.grad)
-
+    from tests.reference_impl import torch_logmel_oracle
+    return torch_logmel_oracle(x_np, lam, n_fft, HOP, N_MELS, SR)
 
 def main():
     import jax

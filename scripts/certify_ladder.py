@@ -48,8 +48,13 @@ CASES = ([(lam, 1024) for lam in
          # fused-kernel fallback above the truncation window (300);
          # win=4096 — the reference's 300 ms production arm lambda=400
          # (search_spaces.py:29,61), J=12/J=24 bands, fallback 600
-         + [(lam, 2048) for lam in (175.0, 204.8, 230.0, 256.0, 300.0)]
-         + [(lam, 4096) for lam in (345.0, 400.0, 500.0, 600.0)]
+         # deep-fade (lowbin) lambdas at the large buckets are routed
+         # to the fused device-basis kernel (specband's chain/lowbin
+         # combination is uncertified there, ops/dmel.py) — certify
+         # that route too
+         + [(lam, 2048) for lam in (100.0, 150.0, 175.0, 204.8, 230.0,
+                                    256.0, 300.0)]
+         + [(lam, 4096) for lam in (250.0, 345.0, 400.0, 500.0, 600.0)]
          # the reference's LITERAL esc50 geometry: optimized mode keeps
          # win = len(x) = 40000 (time_frequency.py:41 — the truncation
          # branch at :39 is dead), so every executed esc50 trial STFTs
@@ -59,29 +64,8 @@ CASES = ([(lam, 1024) for lam in
 
 
 def torch_oracle(x_np, lambd, win):
-    import torch
-    from tests.reference_impl import np_melscale_fbanks
-
-    fb = torch.from_numpy(np_melscale_fbanks(
-        win // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
-    lam = torch.tensor(float(lambd), requires_grad=True)
-    outs = []
-    total = None
-    for i in range(x_np.shape[0]):
-        xi = torch.from_numpy(x_np[i])
-        xi = xi - xi.mean()
-        m = torch.arange(win).float()
-        w = torch.exp(-0.5 * ((m - win / 2) /
-                              (torch.abs(lam) + 1e-15)) ** 2)
-        s = torch.stft(xi, n_fft=win, hop_length=HOP, win_length=win,
-                       window=w, return_complex=True, pad_mode="constant")
-        s = torch.abs(s) ** 2
-        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
-        logmel = torch.log(mel + 1e-10)
-        outs.append(logmel.detach().numpy())
-        total = logmel.sum() if total is None else total + logmel.sum()
-    total.backward()
-    return np.stack(outs), float(lam.grad)
+    from tests.reference_impl import torch_logmel_oracle
+    return torch_logmel_oracle(x_np, lambd, win, HOP, N_MELS, SR)
 
 
 def main():
@@ -123,9 +107,17 @@ def main():
             # floor breaks the 1e-4 gate at small n_fft)
             route = "xla(min-nfft)"
             fgate, ggate = 1e-4, 1e-3
-        elif in_window and j and specband_dmel.supported(win, HOP, N_MELS):
+        elif (in_window and j and specband_dmel.supported(win, HOP, N_MELS)
+              and not (win > 1024 and fix)):
             route = f"specband(J={j}" + ("+lb)" if fix else ")")
             fgate, ggate = 1e-4, 1e-2
+        elif in_window and j and specband_dmel.supported(win, HOP, N_MELS):
+            # large-bucket deep-fade lambdas are excluded from specband
+            # (uncertified chain/lowbin combination; ops/dmel.py) —
+            # auto dispatch falls through to the fused device-basis
+            # kernel at these n_fft
+            route = "fused(lowbin@large)"
+            fgate, ggate = 1e-4, 1e-3
         elif framed_dmel.supported(win, HOP, N_MELS):
             route = "framed(+lb)" if fix else "framed()"
             fgate, ggate = 1e-4, 1e-3

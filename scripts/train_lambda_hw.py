@@ -119,7 +119,8 @@ def main():
                   "xla": ("exact XLA", ":")}
         for impl, (label, ls) in styles.items():
             if impl in trajs:
-                ax.plot(ep, trajs[impl]["lambd"], ls, label=label, lw=2)
+                ax.plot(ep, trajs[impl]["lambd"][:len(ep)], ls, label=label,
+                        lw=2)
         ax.axhline(args.sigma_ref, color="gray", lw=0.8, alpha=0.6)
         ax.text(0.1, args.sigma_ref, " sigma_ref", va="bottom",
                 color="gray")

@@ -113,3 +113,34 @@ def torch_dmel_lambd_grad(x, lambd, n_mels, sample_rate, hop_length,
         total = total + torch.log(mel + 1e-10).sum()
     total.backward()
     return float(lam.grad)
+
+
+def torch_logmel_oracle(x_np, lambd, win, hop_length, n_mels,
+                        sample_rate):
+    """Batch log-mel + dlambda oracle at an explicit (win = n_fft)
+    geometry: returns ``(logmel (B, n_mels, frames), dlambda)`` for
+    ``sum(log(mel + 1e-10))``.  The single torch implementation behind
+    scripts/certify_ladder.py, scripts/bench_buckets.py and
+    tests/test_reference_geometries.py (one oracle, three consumers —
+    a fix here fixes all certifications)."""
+    fb = torch.from_numpy(np_melscale_fbanks(
+        win // 2 + 1, 0.0, sample_rate // 2, n_mels,
+        sample_rate).astype(np.float32))
+    lam = torch.tensor(float(lambd), requires_grad=True)
+    outs, total = [], None
+    for i in range(x_np.shape[0]):
+        xi = torch.from_numpy(x_np[i])
+        xi = xi - xi.mean()
+        m = torch.arange(win).float()
+        w = torch.exp(-0.5 * ((m - win / 2) /
+                              (torch.abs(lam) + 1e-15)) ** 2)
+        s = torch.stft(xi, n_fft=win, hop_length=hop_length,
+                       win_length=win, window=w, return_complex=True,
+                       pad_mode="constant")
+        s = torch.abs(s) ** 2
+        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
+        logmel = torch.log(mel + 1e-10)
+        outs.append(logmel.detach().numpy())
+        total = logmel.sum() if total is None else total + logmel.sum()
+    total.backward()
+    return np.stack(outs), float(lam.grad)

@@ -404,6 +404,30 @@ class TestSpecbandKernel:
                                     - jnp.log(ref + 1e-10))))
         assert err < 1e-4, err
 
+    def test_large_bucket_lowbin_routes_away_from_specband(self, rng,
+                                                           monkeypatch):
+        """Deep-fade (lowbin) lambdas at n_fft > 1024 must NOT take the
+        specband kernel: that chain/lowbin combination is uncertified
+        (chain=1 does not even compile at 4096), and production buckets
+        never land there — auto dispatch falls through to the fused
+        device-basis kernel (round-3 review find)."""
+        from dmel_tpu.ops import stft
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        lam, n_fft = 150.0, 2048
+        assert stft.specband_ok(lam, n_fft, n_fft, 80)
+        assert stft.lowbin_fix_needed(lam, n_fft)
+
+        def boom(*a, **k):
+            raise AssertionError("specband must not serve lowbin@large")
+
+        monkeypatch.setattr(sb, "specband_mel_power", boom)
+        x = jnp.asarray(rng.standard_normal((1, 2400)).astype(np.float32))
+        m = ops.mel_spectrogram(x, lam, n_mels=64, sample_rate=8000,
+                                hop_length=80, optimized=True,
+                                window_length=n_fft, impl="pallas",
+                                lambd_hint=lam)
+        assert np.isfinite(np.asarray(m)).all()
+
     def test_geom_adopted_and_lowbin_gated(self):
         """Block geometries are the hardware-A/B'd picks: chain=2 with
         rows=512 at every production bucket for K=1 — EXCEPT deep-fade

@@ -28,30 +28,8 @@ SR, HOP, N_MELS = 8000, 80, 64
 
 
 def torch_oracle(x_np, lambd, win):
-    import torch
-
-    from tests.reference_impl import np_melscale_fbanks
-
-    fb = torch.from_numpy(np_melscale_fbanks(
-        win // 2 + 1, 0.0, SR // 2, N_MELS, SR).astype(np.float32))
-    lam = torch.tensor(float(lambd), requires_grad=True)
-    outs, total = [], None
-    for i in range(x_np.shape[0]):
-        xi = torch.from_numpy(x_np[i])
-        xi = xi - xi.mean()
-        m = torch.arange(win).float()
-        w = torch.exp(-0.5 * ((m - win / 2) /
-                              (torch.abs(lam) + 1e-15)) ** 2)
-        s = torch.stft(xi, n_fft=win, hop_length=HOP, win_length=win,
-                       window=w, return_complex=True, pad_mode="constant")
-        s = torch.abs(s) ** 2
-        mel = (s.transpose(-1, -2) @ fb).transpose(-1, -2)
-        logmel = torch.log(mel + 1e-10)
-        outs.append(logmel.detach().numpy())
-        total = logmel.sum() if total is None else total + logmel.sum()
-    total.backward()
-    return np.stack(outs), float(lam.grad)
-
+    from tests.reference_impl import torch_logmel_oracle
+    return torch_logmel_oracle(x_np, lambd, win, HOP, N_MELS, SR)
 
 @pytest.mark.parametrize("t,lam,b", [
     (8000, 46.67, 2),     # audio_mnist literal, mid lambda grid point
