@@ -404,16 +404,17 @@ class TestSpecbandKernel:
                                     - jnp.log(ref + 1e-10))))
         assert err < 1e-4, err
 
-    def test_large_bucket_lowbin_routes_away_from_specband(self, rng,
-                                                           monkeypatch):
+    @pytest.mark.parametrize("lam,n_fft", [(150.0, 2048), (250.0, 4096)])
+    def test_large_bucket_lowbin_routes_away_from_specband(
+            self, rng, monkeypatch, lam, n_fft):
         """Deep-fade (lowbin) lambdas at n_fft > 1024 must NOT take the
         specband kernel: that chain/lowbin combination is uncertified
         (chain=1 does not even compile at 4096), and production buckets
         never land there — auto dispatch falls through to the fused
-        device-basis kernel (round-3 review find)."""
+        device-basis kernel (round-3 review find), which must hold the
+        1e-4 log-mel contract vs the exact XLA path."""
         from dmel_tpu.ops import stft
         from dmel_tpu.ops.pallas import specband_dmel as sb
-        lam, n_fft = 150.0, 2048
         assert stft.specband_ok(lam, n_fft, n_fft, 80)
         assert stft.lowbin_fix_needed(lam, n_fft)
 
@@ -421,12 +422,16 @@ class TestSpecbandKernel:
             raise AssertionError("specband must not serve lowbin@large")
 
         monkeypatch.setattr(sb, "specband_mel_power", boom)
-        x = jnp.asarray(rng.standard_normal((1, 2400)).astype(np.float32))
-        m = ops.mel_spectrogram(x, lam, n_mels=64, sample_rate=8000,
-                                hop_length=80, optimized=True,
-                                window_length=n_fft, impl="pallas",
-                                lambd_hint=lam)
-        assert np.isfinite(np.asarray(m)).all()
+        x = jnp.asarray(
+            rng.standard_normal((1, n_fft + 400)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=n_fft)
+        m = ops.mel_spectrogram(x, lam, impl="pallas", lambd_hint=lam,
+                                **kw)
+        ref = ops.mel_spectrogram(x, lam, **kw)
+        err = float(jnp.max(jnp.abs(jnp.log(m + 1e-10)
+                                    - jnp.log(ref + 1e-10))))
+        assert err < 1e-4, err
 
     def test_geom_adopted_and_lowbin_gated(self):
         """Block geometries are the hardware-A/B'd picks: chain=2 with
