@@ -109,8 +109,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                         "see specband_dmel.supported")
                 use_specband = True
             else:
+                # small-n_fft buckets certified under the FULL
+                # precision ladder ride specband despite the floor
+                hiprec_small = (n_fft < _stft.PALLAS_AUTO_MIN_NFFT
+                                and n_fft in _stft.SPECBAND_HIPREC_NFFTS)
                 use_specband = (geom_ok and lambd_hint is not None
-                                and n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
+                                and (n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
+                                     or hiprec_small)
                                 and specband_ok(lambd_hint, win_length,
                                                 n_fft, hop_length)
                                 # deep-fade (lowbin) lambdas at the
@@ -125,6 +130,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                                 # threshold win/12); manual deep-fade
                                 # calls take the exact XLA path.
                                 and not (n_fft > 1024 and lb_fix))
+                if use_specband and hiprec_small:
+                    lb_fix = 2          # full ladder (every column/tile)
             # adaptive tap count: large lambdas (narrow window spectra)
             # contract fewer band columns — J is static, derived from
             # the same hint that gated the dispatch

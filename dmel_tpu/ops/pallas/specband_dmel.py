@@ -334,23 +334,33 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 k_sig, lowbin_fix, n_chunks, interpret):
     f32 = jnp.float32
     width = LANE + 2 * j_taps
+    # lowbin_fix level 2 (small-n_fft full ladder): the correction
+    # passes cover ALL kpad basis columns, not just band tile 0's reads
+    # — at n_fft < 1024 each mel band integrates few bins, so deep
+    # fades expose the bf16x3 floor in EVERY tile (the round-2
+    # PALLAS_AUTO_MIN_NFFT finding); level 2 lifts the whole spectra
+    # to the ~2^-27 class so those buckets can ride the kernel.
+    lad_cols = kpad if lowbin_fix >= 2 else width
 
     def dc_corr(a32, rows_n, chs, cls, shs, sls):
         """Extra bf16 passes of the 3-way-split residual (lo2*bhi) and
-        the x4 cross term (lo*blo) against the first `width` basis
-        columns (covers band tile 0's X reads, bins -J..LANE-1+J):
-        lifts the spectra feeding the lowest mel bands from the ~2^-18
-        absolute floor (input representation + missing cross term, both
-        the same magnitude class) to ~2^-27.  The correction rides the
-        recurrence rotation exactly (f32 elementwise), so applying it
-        at the base/delta GEMMs covers every phase."""
+        the x4 cross term (lo*blo) against the first `lad_cols` basis
+        columns (level 1: band tile 0's X reads, bins -J..LANE-1+J;
+        level 2: all columns): lifts the spectra feeding the deep-fade
+        mel bands from the ~2^-18 absolute floor (input representation
+        + missing cross term, both the same magnitude class) to ~2^-27.
+        The correction rides the recurrence rotation exactly (f32
+        elementwise), so applying it at the base/delta GEMMs covers
+        every phase."""
         ahi, alo = _split_hi_lo(a32)
         alo2 = _lo2(a32, ahi, alo)
-        z = jnp.zeros((rows_n, kpad - width), f32)
-        cr = (jnp.dot(alo2, chs[:, :width], preferred_element_type=f32)
-              + jnp.dot(alo, cls[:, :width], preferred_element_type=f32))
-        ci = (jnp.dot(alo2, shs[:, :width], preferred_element_type=f32)
-              + jnp.dot(alo, sls[:, :width], preferred_element_type=f32))
+        cr = (jnp.dot(alo2, chs[:, :lad_cols], preferred_element_type=f32)
+              + jnp.dot(alo, cls[:, :lad_cols], preferred_element_type=f32))
+        ci = (jnp.dot(alo2, shs[:, :lad_cols], preferred_element_type=f32)
+              + jnp.dot(alo, sls[:, :lad_cols], preferred_element_type=f32))
+        if lad_cols == kpad:
+            return cr, ci
+        z = jnp.zeros((rows_n, kpad - lad_cols), f32)
         return (jnp.concatenate([cr, z], axis=1),
                 jnp.concatenate([ci, z], axis=1))
 
@@ -486,8 +496,9 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
     for f in range(nt_g):
         xrs = xr_scr[:, f * LANE:f * LANE + width]
         xis = xi_scr[:, f * LANE:f * LANE + width]
-        if lowbin_fix and f == 0:
-            # tile 0 holds the deep-fade mel bands: 6-pass band conv
+        if lowbin_fix and (f == 0 or lowbin_fix >= 2):
+            # tile 0 holds the deep-fade mel bands (level 2: every
+            # tile is deep-fade-prone at small n_fft): 6-pass band conv
             sre = _dot6(xrs, thi, tlo, tlo2)
             sim = _dot6(xis, thi, tlo, tlo2)
         else:
@@ -885,7 +896,11 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
     (stft.specband_ok).  ``lowbin_fix`` (static; gate with
     stft.lowbin_fix_needed on the same lambd hint) adds the 3-way-split
     correction passes that keep the deep-fade lowest mel bands inside
-    the 1e-4 parity gate at small lambda/n_fft ratios.
+    the 1e-4 parity gate at small lambda/n_fft ratios; level ``2``
+    (small-n_fft full ladder) extends the correction to every basis
+    column and every band tile, reclaiming the n_fft < 1024 buckets
+    from the round-2 certified-parity floor (gate with
+    stft.SPECBAND_HIPREC_NFFTS).
     """
     if f_max is None:
         f_max = sample_rate // 2

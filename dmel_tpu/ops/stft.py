@@ -376,6 +376,19 @@ LOWBIN_FIX_MAX_LAMBDA_FRAC = 1.0 / 12.0
 #: kernels at tiny geometries with their own gates).
 PALLAS_AUTO_MIN_NFFT = 1024
 
+#: Small-n_fft buckets reclaimed from the certified-parity floor by
+#: the specband kernel's FULL precision ladder (lowbin_fix level 2:
+#: the 3-way-split correction passes run on every basis column and the
+#: 6-pass band conv on every tile, lifting the whole pipeline to the
+#: ~2^-27 quantization class — the round-2 floor finding was that the
+#: deep fades are generic across tiles at small n_fft, so the tile-0
+#: ladder could not close them).  Auto ``impl="pallas"`` routes these
+#: buckets to specband with level 2 when the lambda hint passes
+#: :func:`specband_ok`; everything else below PALLAS_AUTO_MIN_NFFT
+#: stays on the exact XLA path.  Populated per bucket only after a
+#: hardware certify_ladder run at that geometry.
+SPECBAND_HIPREC_NFFTS: tuple = (512,)
+
 
 def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:
     """Whether the fused kernels' low-bin precision fix is needed for

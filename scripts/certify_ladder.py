@@ -101,7 +101,15 @@ def main():
         in_window = stft_mod.specband_ok(lam, win, win, HOP)
         j = stft_mod.specband_j_taps(lam, win)
         fix = stft_mod.lowbin_fix_needed(lam, win)
-        if win < stft_mod.PALLAS_AUTO_MIN_NFFT:
+        if (win < stft_mod.PALLAS_AUTO_MIN_NFFT
+                and win in stft_mod.SPECBAND_HIPREC_NFFTS
+                and in_window and j
+                and specband_dmel.supported(win, HOP, N_MELS)):
+            # small-n_fft bucket reclaimed by the FULL precision ladder
+            # (lowbin_fix level 2, round 3): specband despite the floor
+            route = f"specband(hiprec,J={j})"
+            fgate, ggate = 1e-4, 1e-2
+        elif win < stft_mod.PALLAS_AUTO_MIN_NFFT:
             # below the certified-parity floor the auto dispatch takes
             # the exact XLA path (round-2 find: the kernels' bf16-split
             # floor breaks the 1e-4 gate at small n_fft)

@@ -554,6 +554,51 @@ class TestSpecbandKernel:
                                         - jnp.log(want + 1e-10))))
             assert err < 1e-4, (lam, err)
 
+    def test_hiprec_reclaims_512_bucket(self, rng, monkeypatch):
+        """n_fft=512 rides the specband kernel under the FULL precision
+        ladder (lowbin_fix level 2: correction passes on every basis
+        column + 6-pass band conv on every tile) despite sitting below
+        PALLAS_AUTO_MIN_NFFT — the round-2 floor finding was that deep
+        band fades are generic across tiles at small n_fft, which the
+        full ladder closes (round-3 reclaim, hardware-certified via
+        scripts/certify_ladder.py 512).  n_fft=256 stays on the exact
+        XLA path (truncation-dominated residual ~6e-4 even at level 2,
+        measured in interpret — not reclaimable by precision alone)."""
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 1024)
+        assert 512 in stft_mod.SPECBAND_HIPREC_NFFTS
+        assert 256 not in stft_mod.SPECBAND_HIPREC_NFFTS
+        calls = []
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("lowbin_fix"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        x = jnp.asarray(rng.standard_normal((2, 2500)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=512)
+        for lam in (33.0,      # deep-fade region (previously 1.7e-4)
+                    52.0):     # mid-bucket
+            want = ops.mel_spectrogram(x, lam, method="matmul", **kw)
+            got = ops.mel_spectrogram(x, lam, impl="pallas",
+                                      lambd_hint=lam, **kw)
+            err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
+                                        - jnp.log(want + 1e-10))))
+            assert err < 1e-4, (lam, err)
+        assert calls == [2, 2]      # full ladder on, via the kernel
+        # 256 keeps the floor: no kernel dispatch
+        def boom(*a, **k):
+            raise AssertionError("kernel below the floor")
+        monkeypatch.setattr(sb, "specband_mel_power", boom)
+        kw256 = dict(kw, window_length=256)
+        got = ops.mel_spectrogram(x, 24.0, impl="pallas",
+                                  lambd_hint=24.0, **kw256)
+        want = ops.mel_spectrogram(x, 24.0, impl="xla", **kw256)
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
     def test_multi_sigma_under_jit(self, rng):
         """The static lambd_hint/band_map plumbing must survive a jit
         trace (regression: jnp constants become tracers under jit, so
