@@ -385,9 +385,19 @@ PALLAS_AUTO_MIN_NFFT = 1024
 #: ladder could not close them).  Auto ``impl="pallas"`` routes these
 #: buckets to specband with level 2 when the lambda hint passes
 #: :func:`specband_ok`; everything else below PALLAS_AUTO_MIN_NFFT
-#: stays on the exact XLA path.  Populated per bucket only after a
-#: hardware certify_ladder run at that geometry.
-SPECBAND_HIPREC_NFFTS: tuple = (512,)
+#: stays on the exact XLA path.  Populated per bucket ONLY after a
+#: hardware certify_ladder run at that geometry, citing the committed
+#: artifact (results/ file + date) next to the entry.
+#:
+#: Currently EMPTY: the 512 reclaim attempt FAILED hardware
+#: certification (results/diag_hiprec_512_r4.txt, 2026-08-20 —
+#: specband(hiprec) diverges from the exact XLA path by 1.15-2.53e-4
+#: ON HARDWARE, identically eager and jitted, while CPU interpret
+#: passes at 3.9-4.7e-5: a Mosaic-codegen numerics gap at the small
+#: geometry, not a jit rewrite or oracle issue).  The level-2 kernel
+#: machinery stays available behind explicit impl="pallas_specband"
+#: for tests and future reclaim attempts.
+SPECBAND_HIPREC_NFFTS: tuple = ()
 
 
 def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:

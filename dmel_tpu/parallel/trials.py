@@ -30,6 +30,36 @@ from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training.train import _loss_and_metrics
 
 
+def _shared_specband_hint(c0, wl, lambds, active=None):
+    """Shared static ``lambd_hint`` for a trial pack, or None.
+
+    The specband kernel's dispatch is static per compilation (J bucket +
+    lowbin flag, ops/stft.py:specband_compile_hint); a vmapped pack can
+    ride it only when every ACTIVE trial's lambda sits in the SAME
+    static-switch region (the common case: a reference grid shares
+    init_lambd magnitudes per arm, search_spaces.py:29).  Frozen trials
+    are ignored — their parameters no longer update and their metrics
+    are discarded, so feature accuracy for them is moot.  Any
+    disagreement (or any trial outside the truncation window) returns
+    None and the pack keeps the framed/XLA path — correctness never
+    depends on the hint (VERDICT r3 next #4).
+    """
+    if c0.get("impl") != "pallas" or wl is None:
+        return None
+    from dmel_tpu.ops.stft import specband_compile_hint
+    hints = []
+    for i, lam in enumerate(lambds):
+        if active is not None and not active[i]:
+            continue
+        if not np.isfinite(lam):
+            return None
+        hints.append(specband_compile_hint(abs(float(lam)), wl,
+                                           int(c0["hop_length"])))
+    if not hints or any(h is None for h in hints):
+        return None
+    return hints[0] if all(h == hints[0] for h in hints) else None
+
+
 def _lr_tree(params, lr_tf, lr_model):
     """Per-leaf learning-rate pytree: lambd leaves get lr_tf."""
     def walk(node, in_tf=False):
@@ -114,6 +144,24 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
                  for c in configs)
     model = get_model_by_config(c0, window_length=wl)
 
+    # pallas front-end for the whole pack: the per-trial lambdas are
+    # traced under vmap (the kernel's custom VJP vmaps bitwise —
+    # tests/test_parallel.py), but the specband dispatch needs a shared
+    # STATIC hint; re-derived each epoch from the last-known lambdas,
+    # one recompile per static-switch region crossing (same mechanism
+    # as fit()'s bucket+hint step cache)
+    step_cache: dict = {}
+
+    def steps_for(hint):
+        if hint not in step_cache:
+            m = (model if hint is None
+                 else get_model_by_config(c0, window_length=wl,
+                                          lambd_hint=hint))
+            step_cache[hint] = (
+                make_multitrial_step(m, base_opt, one_hot, n_classes),
+                make_multitrial_eval(m, one_hot, n_classes))
+        return step_cache[hint]
+
     # --- stacked init ---------------------------------------------------
     sample = jnp.zeros((batch_size, int(c0["n_points"])), jnp.float32)
 
@@ -153,8 +201,9 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
         if batch_stats is not None:
             batch_stats = put(batch_stats)
 
-    step = make_multitrial_step(model, base_opt, one_hot, n_classes)
-    evaluate = make_multitrial_eval(model, one_hot, n_classes)
+    # last-known per-trial lambdas (host floats) drive the shared-hint
+    # selection; refreshed from device each epoch below
+    lambds_host = np.asarray([float(c["init_lambd"]) for c in configs])
 
     # per-trial shuffled loaders -> stacked (K, B, ...) batches
     loaders = [BatchLoader(trainset, batch_size, shuffle=True,
@@ -176,6 +225,8 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
     active_np = np.ones(k, dtype=np.float32)
 
     for epoch in range(max_epochs):
+        step, evaluate = steps_for(
+            _shared_specband_hint(c0, wl, lambds_host, active_np))
         active = jnp.asarray(active_np)
         if mesh is not None:
             active = jax.device_put(active, trial_sh)
@@ -211,6 +262,7 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
         lambds = np.asarray(params["spectrogram_layer"]["lambd"])
         if lambds.ndim > 1:
             lambds = lambds.mean(axis=tuple(range(1, lambds.ndim)))
+        lambds_host = lambds
         was_active = active_np.copy()
         for i, h in enumerate(histories):
             if active_np[i] and v_loss[i] < h["best_valid_loss"]:

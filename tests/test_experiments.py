@@ -222,3 +222,52 @@ class TestPackedOptimized:
         df = runner.load_results(sweep)
         assert len(df) == 2
         assert np.isfinite(df["valid_loss"].astype(float)).all()
+
+
+def pallas_space(max_epochs=1, **over):
+    """Tiny optimized-mode space that rides the specband kernel when
+    the auto floor is lowered: bucket(24) = 256, hop 16 -> g = 8,
+    specband_ok(24, 256, 256, 16) holds, no lowbin."""
+    space = dict(
+        model_name="mel_linear_net", n_mels=64, hop_length=16,
+        energy_normalize=True, optimized=True, impl="pallas",
+        normalize_window=False, optimizer_name="sgd", lr_model=1e-3,
+        lr_tf=1.0, batch_size=32, max_epochs=max_epochs, patience=100,
+        n_points=256, noise_std=0.5, n_samples=96, sigma_ref=6.38,
+        dataset_name="time_frequency", center_offset=False, data_seed=0,
+        trainable=True, init_lambd=24.0, resample_rate=8000,
+    )
+    space.update(over)
+    return space
+
+
+class TestPallasDefault:
+    def test_production_spaces_default_pallas(self):
+        """VERDICT r3 next #2: the optimized-mode search spaces ship
+        impl='pallas' so CLI sweeps ride the certified kernel; the
+        faithful-mode time_frequency space stays XLA by documented
+        decision (tiny FLOPs, below the certified floor)."""
+        for name in ("esc50", "audio_mnist", "fsd"):
+            assert experiments.get_search_space(name, 1)["impl"] == "pallas"
+        assert "impl" not in experiments.get_search_space(
+            "time_frequency", 1)
+
+    def test_runner_engages_specband_hint(self, tmp_path, monkeypatch):
+        """A runner sweep with impl='pallas' reaches the specband
+        kernel through fit()'s bucket+hint step cache (the headline
+        path is wired to the front door, not just direct fit calls)."""
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        calls = []
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("j_taps"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        runner.run_sweep("pallas_tiny", num_samples=1, max_epochs=1,
+                         output_dir=str(tmp_path), data_dir="/tmp",
+                         space=pallas_space())
+        assert calls, "specband kernel never dispatched by the runner"

@@ -134,3 +134,73 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestMultiTrialPallas:
+    """VERDICT r3 next #4: packed trials ride the specband kernel under
+    a SHARED static (bucket, hint) when every active trial's lambda
+    sits in one static-switch region; any disagreement falls back to
+    the framed/XLA path (correctness never depends on the hint)."""
+
+    def pallas_cfg(self, **over):
+        cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+                   init_lambd=24.0, n_points=256, hop_length=16,
+                   optimized=True, impl="pallas", normalize_window=False,
+                   n_mels=64, resample_rate=8000, energy_normalize=True,
+                   optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+                   trainable=True, batch_size=16, max_epochs=1,
+                   patience=100)
+        cfg.update(over)
+        return cfg
+
+    def _spy(self, monkeypatch):
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        calls = []
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("j_taps"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        return calls
+
+    def test_shared_region_dispatches_specband(self, monkeypatch):
+        calls = self._spy(monkeypatch)
+        # both lambdas in the J=12 / no-lowbin region of bucket 256
+        configs = [self.pallas_cfg(init_lambd=24.0),
+                   self.pallas_cfg(init_lambd=25.0)]
+        tr = toy_dataset(32)
+        va = toy_dataset(16, seed=1)
+        _, hists = parallel.fit_trials(configs, tr, va)
+        assert calls, "shared-region pack never dispatched specband"
+        assert len(hists) == 2 and all(h["records"] for h in hists)
+
+    def test_region_mismatch_falls_back(self, monkeypatch):
+        calls = self._spy(monkeypatch)
+        # 24 -> reduced-J region; 30 -> J=24 sidelobe regime (same
+        # bucket 256): hints disagree, pack must NOT ride specband
+        configs = [self.pallas_cfg(init_lambd=24.0),
+                   self.pallas_cfg(init_lambd=30.0)]
+        tr = toy_dataset(32)
+        va = toy_dataset(16, seed=1)
+        _, hists = parallel.fit_trials(configs, tr, va)
+        assert calls == [], "mismatched regions must fall back"
+        assert all(h["records"] for h in hists)
+
+    def test_shared_hint_matches_xla_pack(self, monkeypatch):
+        """The kernel-dispatched pack trains equivalently to the XLA
+        pack (per-trial loss within the kernel's parity class)."""
+        self._spy(monkeypatch)
+        tr = toy_dataset(32)
+        va = toy_dataset(16, seed=1)
+        cfgs_p = [self.pallas_cfg(init_lambd=24.0),
+                  self.pallas_cfg(init_lambd=25.0)]
+        cfgs_x = [dict(c, impl="xla") for c in cfgs_p]
+        _, hp = parallel.fit_trials(cfgs_p, tr, va)
+        _, hx = parallel.fit_trials(cfgs_x, tr, va)
+        for a, b in zip(hp, hx):
+            assert a["records"][0]["loss"] == pytest.approx(
+                b["records"][0]["loss"], rel=1e-3)
