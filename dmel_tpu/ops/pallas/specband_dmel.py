@@ -88,6 +88,18 @@ ROWS_MULTI = 256
 #: add ~2.3 MB of VMEM pressure for no measured win.
 STACK_DELTAS = False
 
+#: Diagnostic-only ablation switches (trace-time static; production is
+#: ALWAYS the empty set).  scripts/diag_1024_residual.py monkeypatches
+#: this to apportion the non-MXU residual at the headline geometry by
+#: timing the kernel with single components no-op'd (results are
+#: numerically WRONG by construction — timing only):
+#:   "norot"   skip the recurrence rotation multiplies (VPU)
+#:   "nodelta" skip the per-phase delta GEMMs + rotation entirely
+#:   "nonyq"   skip the Nyquist VPU tap-reduction
+#:   "nores"   skip the bf16 residual write (backward would be garbage)
+#:   "nomel"   skip the band-conv + mel tile loop (spectra only)
+_ABLATE: frozenset = frozenset()
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -428,8 +440,15 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
     real-tap band conv, power, mel."""
     f32 = jnp.float32
     width = LANE + 2 * j_taps
+    ab = _ABLATE                       # diagnostic-only, empty in prod
     xg = xg_ref[0]
-    if g > 1:
+    if g > 1 and "nodelta" in ab:
+        # timing ablation: keep the scratch-row writes (traffic), drop
+        # the delta GEMMs and rotation chain
+        for c in range(g - 1):
+            xr_scr[(c + 1) * gr:(c + 2) * gr, :] = xr_c
+            xi_scr[(c + 1) * gr:(c + 2) * gr, :] = xi_c
+    elif g > 1:
         dblk = xg[:, n_fft:n_fft + hop_ext] - xg[:, :hop_ext]
         rotr = rotr_ref[0, :]
         roti = roti_ref[0, :]
@@ -472,19 +491,26 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
                     di = di + ci
             ar = xr_c + dr
             ai = xi_c + di
-            xr_c = rotr * ar - roti * ai
-            xi_c = rotr * ai + roti * ar
+            if "norot" in ab:          # timing ablation: drop the VPU
+                xr_c, xi_c = ar, ai    # rotation multiplies only
+            else:
+                xr_c = rotr * ar - roti * ai
+                xi_c = rotr * ai + roti * ar
             xr_scr[(c + 1) * gr:(c + 2) * gr, :] = xr_c
             xi_scr[(c + 1) * gr:(c + 2) * gr, :] = xi_c
 
-    xres_ref[0, :, :kpad] = xr_scr[:].astype(jnp.bfloat16)
-    xres_ref[0, :, kpad:] = xi_scr[:].astype(jnp.bfloat16)
+    if "nores" not in ab:
+        xres_ref[0, :, :kpad] = xr_scr[:].astype(jnp.bfloat16)
+        xres_ref[0, :, kpad:] = xi_scr[:].astype(jnp.bfloat16)
 
     # ---- real-tap band conv + power + mel ----
     # K sigmas share the spectra above: tmat is the horizontal concat
     # of the K banded blocks, so one GEMM per tile produces all K
     # windowed spectra; the (nt*K*LANE, MEL_PAD) filterbank rows are
     # pre-masked per sigma group (rows ordered (tile, sigma, lane)).
+    if "nomel" in ab:                  # timing ablation: spectra only
+        mel_ref[0] = jnp.zeros((xr_scr.shape[0], MEL_PAD), f32)
+        return
     mel_acc = None
     # hi/lo-split the lambda-dependent taps IN-KERNEL: split in XLA,
     # the terminal's --xla_allow_excess_precision=true lets the
@@ -512,7 +538,7 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
         mel_t = _dot4(p, fbhi_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :],
                       fblo_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :])
         mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
-    if nyq:
+    if nyq and "nonyq" not in ab:
         # Nyquist bin via VPU tap-reduction (f32 — tighter than the
         # bf16x3 GEMM tiles): S[c0] = sum_u X'[:, c0+u] tn[u], where
         # tn[u] = rho[2J-u] (column 0 of the tile-(nt_g) band block)
@@ -768,9 +794,14 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         # ROWS=1024 over by 68 KB at n_fft=1024 before learning the cap
         # is scheduling-only). The certified production <=1024
         # compilations (rows<=512) keep the default budget.
+        # (k_sig > 1 at rows > ROWS_MULTI also needs the raise: the
+        # K-wide band/mel intermediates put the round-2 default-budget
+        # estimate 1.5 MB over at rows=512 — the budget is
+        # scheduling-only, so the A/B can measure those geometries)
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
-            if (n_fft > 1024 or rows > 512) else None),
+            if (n_fft > 1024 or rows > 512
+                or (k_sig > 1 and rows > ROWS_MULTI)) else None),
         interpret=interpret,
     )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)

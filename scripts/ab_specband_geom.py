@@ -81,14 +81,83 @@ def measure(n_fft, lam, iters):
     return float(np.median(times)), ref
 
 
+#: multi-sigma (K=3) variants — the round-2 rows=256 default predates
+#: the raised-VMEM-budget finding; re-try larger blocks per VERDICT r3
+#: next #5.  Lambda triples = the certified K=3 ladder rungs.
+VARIANTS_K3 = {
+    1024: [("r256.c1 (prod)", (256, 1, 1024)),
+           ("r512.c1", (512, 1, 1024)),
+           ("r512.c2", (512, 2, 1024)),
+           ("r256.c2", (256, 2, 1024))],
+    2048: [("r128.c2 (prod)", (128, 2, 2048)),
+           ("r256.c2", (256, 2, 2048)),
+           ("r512.c2", (512, 2, 2048)),
+           ("r256.c4", (256, 4, 2048))],
+    4096: [("r128.c4 (prod)", (128, 4, 4096)),
+           ("r256.c4", (256, 4, 4096)),
+           ("r256.c2", (256, 2, 4096)),
+           ("r512.c4", (512, 4, 4096))],
+}
+LAMS_K3 = {1024: (100.0, 115.0, 128.0),
+           2048: (180.0, 204.8, 240.0),
+           4096: (360.0, 409.6, 480.0)}
+
+
+def measure_multi(n_fft, lams, iters):
+    from dmel_tpu.ops import dmel as dmel_mod
+    band_map = dmel_mod.default_band_map(NM, len(lams))
+
+    def feat(ls, x):
+        m = dmel_mod.multi_sigma_mel_spectrogram(
+            x, ls, n_mels=NM, sample_rate=SR, hop_length=HOP,
+            optimized=True, window_length=n_fft, impl="pallas",
+            lambd_hint=list(lams), band_map=band_map)
+        return ops.accurate_log(m + 1e-10)
+
+    loss = lambda ls, x: feat(ls, x).sum()
+    l0 = jnp.asarray(lams, jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            g = jax.grad(loss)(l0 + i.astype(jnp.float32) * 1e-6, x)
+            return acc + g.sum()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+    jax.block_until_ready(x0)
+    ref = float(jax.jit(lambda x: jax.grad(loss)(l0, x).sum())(x0))
+    float(run(x0))
+    times = []
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+        jax.block_until_ready(x)
+        t0 = time.time()
+        v = float(run(x))
+        dt = (time.time() - t0) / iters
+        ok = (np.isfinite(v)
+              and 0.5 * abs(ref * iters) <= abs(v) <= 2 * abs(ref * iters))
+        if ok:
+            times.append(dt)
+    if not times:
+        raise RuntimeError("no repeat passed the grad sanity window")
+    return float(np.median(times)), ref
+
+
 def main():
-    nffts = [int(a) for a in sys.argv[1:]] or [4096, 2048, 1024]
+    args = [a for a in sys.argv[1:]]
+    multi = "--multi" in args
+    nffts = [int(a) for a in args if a != "--multi"] or [4096, 2048, 1024]
     orig = sb._geom
+    variants = VARIANTS_K3 if multi else VARIANTS
     for n_fft in nffts:
         lam = LAMS[n_fft]
         iters = 200 if n_fft <= 1024 else 50
+        if multi:
+            iters = max(iters // 2, 25)
         base_ref = None
-        for name, geom in VARIANTS[n_fft]:
+        for name, geom in variants[n_fft]:
             g0 = 128 // np.gcd(HOP, 128)
             rows, chain, chunk = geom
             if rows % (g0 * chain):
@@ -96,7 +165,10 @@ def main():
                 continue
             sb._geom = lambda n, h, k, *a, _g=geom, **kw: _g
             try:
-                med, ref = measure(n_fft, lam, iters)
+                if multi:
+                    med, ref = measure_multi(n_fft, LAMS_K3[n_fft], iters)
+                else:
+                    med, ref = measure(n_fft, lam, iters)
                 drift = ((abs(ref - base_ref)
                           / max(abs(base_ref), 1e-30))
                          if base_ref is not None else 0.0)
