@@ -88,6 +88,32 @@ ROWS_MULTI = 256
 #: add ~2.3 MB of VMEM pressure for no measured win.
 STACK_DELTAS = False
 
+#: Stack the per-tile band-conv GEMMs (and the backward's recompute /
+#: dT / dp GEMMs) into single large GEMMs across tiles and re/im.
+#: Every tile shares the SAME RHS (tmat for the band conv, fbt for dp),
+#: so the nt_g x {re,im} medium GEMMs concatenate along M (or the
+#: contraction axis, for dT) into one MXU stream — fewer GEMM
+#: boundaries, better pipelining.  Forward results are BITWISE
+#: identical per row (GEMM rows are independent; same K order);
+#: backward's dT changes accumulation order across tiles (same error
+#: class, re-certified on hardware).  Gated off under the lowbin
+#: precision ladder (per-tile precision differs at level 1).
+#: Hardware A/B at the headline geometry: see
+#: results/diag_1024_residual_r4.txt and PERF.md.
+STACK_BAND = False          # fwd+bwd: measured regression; see PERF.md
+#: independent gates (the concat cost differs: fwd concats f32 spectra
+#: scratch — a measured REGRESSION everywhere; bwd concats bf16
+#: residuals — a measured win at nt_g <= 8).  Hardware A/B (v5e,
+#: B=128 x 5 s fwd+bwd, results/diag_1024_residual_r4.txt):
+#:   1024: off 2.423 / bwd-on 2.375 ms (+2.0%) / fwd-on 2.602 (-7%)
+#:   2048: off 4.607 / bwd-on 4.475 ms (+2.9%)
+#:   4096: off 10.535 / bwd-on 10.653 ms (-1.1% — 16-tile concat too
+#:         large; the in-kernel gate keeps 4096 on the per-tile loop)
+#: grad deltas 0-4e-7 relative (cross-tile accumulation moves inside
+#: one K contraction).  K>1 (multi-sigma) unmeasured -> per-tile loop.
+STACK_BAND_FWD = False
+STACK_BAND_BWD = True
+
 #: Diagnostic-only ablation switches (trace-time static; production is
 #: ALWAYS the empty set).  scripts/diag_1024_residual.py monkeypatches
 #: this to apportion the non-MXU residual at the headline geometry by
@@ -519,25 +545,47 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
     # traced lambda); Mosaic lowers the casts faithfully
     thi, tlo = _split_hi_lo(tmat_ref[:])
     tlo2 = _lo2(tmat_ref[:], thi, tlo) if lowbin_fix else None
-    for f in range(nt_g):
-        xrs = xr_scr[:, f * LANE:f * LANE + width]
-        xis = xi_scr[:, f * LANE:f * LANE + width]
-        if lowbin_fix and (f == 0 or lowbin_fix >= 2):
-            # tile 0 holds the deep-fade mel bands (level 2: every
-            # tile is deep-fade-prone at small n_fft): 6-pass band conv
-            sre = _dot6(xrs, thi, tlo, tlo2)
-            sim = _dot6(xis, thi, tlo, tlo2)
-        else:
-            sre = _dot3(xrs, thi, tlo)
-            sim = _dot3(xis, thi, tlo)
-        p = sre * sre + sim * sim
-        # explicit bf16x4 for the mel GEMM (Mosaic lowers only
-        # DEFAULT/HIGHEST; HIGHEST costs 6 passes, bf16x4 is
-        # ~2^-24-class — invisible under the bf16x3 spectra floor,
-        # where bf16x3 here measured just over the 1e-4 torch gate)
-        mel_t = _dot4(p, fbhi_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :],
-                      fblo_ref[pl.ds(f * k_sig * LANE, k_sig * LANE), :])
-        mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
+    rows_n = xr_scr.shape[0]
+    if (STACK_BAND or STACK_BAND_FWD) and not lowbin_fix and nt_g > 1:
+        # one band-conv GEMM for ALL tiles and both re/im (shared tmat
+        # RHS): (2*nt_g*rows, width) @ (width, K*LANE).  Bitwise equal
+        # to the per-tile loop (independent GEMM rows, same K order).
+        xall = jnp.concatenate(
+            [xr_scr[:, f * LANE:f * LANE + width] for f in range(nt_g)]
+            + [xi_scr[:, f * LANE:f * LANE + width]
+               for f in range(nt_g)], axis=0)
+        s_all = _dot3(xall, thi, tlo)
+        for f in range(nt_g):
+            sre = s_all[f * rows_n:(f + 1) * rows_n]
+            sim = s_all[(nt_g + f) * rows_n:(nt_g + f + 1) * rows_n]
+            p = sre * sre + sim * sim
+            mel_t = _dot4(p, fbhi_ref[pl.ds(f * k_sig * LANE,
+                                            k_sig * LANE), :],
+                          fblo_ref[pl.ds(f * k_sig * LANE,
+                                         k_sig * LANE), :])
+            mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
+    else:
+        for f in range(nt_g):
+            xrs = xr_scr[:, f * LANE:f * LANE + width]
+            xis = xi_scr[:, f * LANE:f * LANE + width]
+            if lowbin_fix and (f == 0 or lowbin_fix >= 2):
+                # tile 0 holds the deep-fade mel bands (level 2: every
+                # tile is deep-fade-prone at small n_fft): 6-pass conv
+                sre = _dot6(xrs, thi, tlo, tlo2)
+                sim = _dot6(xis, thi, tlo, tlo2)
+            else:
+                sre = _dot3(xrs, thi, tlo)
+                sim = _dot3(xis, thi, tlo)
+            p = sre * sre + sim * sim
+            # explicit bf16x4 for the mel GEMM (Mosaic lowers only
+            # DEFAULT/HIGHEST; HIGHEST costs 6 passes, bf16x4 is
+            # ~2^-24-class — invisible under the bf16x3 spectra floor,
+            # where bf16x3 here measured just over the 1e-4 torch gate)
+            mel_t = _dot4(p, fbhi_ref[pl.ds(f * k_sig * LANE,
+                                            k_sig * LANE), :],
+                          fblo_ref[pl.ds(f * k_sig * LANE,
+                                         k_sig * LANE), :])
+            mel_acc = mel_t if mel_acc is None else mel_acc + mel_t
     if nyq and "nonyq" not in ab:
         # Nyquist bin via VPU tap-reduction (f32 — tighter than the
         # bf16x3 GEMM tiles): S[c0] = sum_u X'[:, c0+u] tn[u], where
@@ -562,22 +610,46 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     dmel = dmel_ref[0]
     dt_acc = jnp.zeros((width, k_sig * LANE), f32)
     dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
-    for f in range(nt_g):
-        xrs = xres_ref[0, :, f * LANE:f * LANE + width]
-        xis = xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
-        # dp feeds a bf16-cast product (dsre/dsim) — single-pass bf16
-        # is already below the adjoint's quantization class
-        dp = jnp.dot(dmel, fbt_ref[:, pl.ds(f * k_sig * LANE,
-                                            k_sig * LANE)],
-                     preferred_element_type=f32)
-        sre = jnp.dot(xrs, tbf_ref[:], preferred_element_type=f32)
-        sim = jnp.dot(xis, tbf_ref[:], preferred_element_type=f32)
-        dsre = (2.0 * sre * dp).astype(bf)
-        dsim = (2.0 * sim * dp).astype(bf)
+    rows_n = xres_ref.shape[1]
+    if (STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8 and k_sig == 1:
+        # stacked adjoint (see STACK_BAND): the nt_g x {re,im} per-tile
+        # recompute GEMMs share tbf and the dp GEMMs share fbt, so the
+        # 3*nt_g*2 medium GEMMs collapse to three large ones.  dp and
+        # the recomputed s are bitwise equal to the per-tile loop
+        # (independent rows/columns); dT's cross-tile accumulation
+        # moves inside one K = 2*nt_g*rows contraction (f32 MXU
+        # accumulate — same error class, hardware-recertified).
+        xall = jnp.concatenate(
+            [xres_ref[0, :, f * LANE:f * LANE + width]
+             for f in range(nt_g)]
+            + [xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
+               for f in range(nt_g)], axis=0)
+        s_all = jnp.dot(xall, tbf_ref[:], preferred_element_type=f32)
+        dp_all = jnp.dot(dmel, fbt_ref[:, :nt_g * k_sig * LANE],
+                         preferred_element_type=f32)
+        dp_stack = jnp.concatenate(
+            [dp_all[:, f * k_sig * LANE:(f + 1) * k_sig * LANE]
+             for f in range(nt_g)] * 2, axis=0)
+        ds_all = (2.0 * s_all * dp_stack).astype(bf)
         dt_acc = dt_acc + jax.lax.dot_general(
-            xrs, dsre, dims, preferred_element_type=f32)
-        dt_acc = dt_acc + jax.lax.dot_general(
-            xis, dsim, dims, preferred_element_type=f32)
+            xall, ds_all, dims, preferred_element_type=f32)
+    else:
+        for f in range(nt_g):
+            xrs = xres_ref[0, :, f * LANE:f * LANE + width]
+            xis = xres_ref[0, :, kpad + f * LANE:kpad + f * LANE + width]
+            # dp feeds a bf16-cast product (dsre/dsim) — single-pass
+            # bf16 is already below the adjoint's quantization class
+            dp = jnp.dot(dmel, fbt_ref[:, pl.ds(f * k_sig * LANE,
+                                                k_sig * LANE)],
+                         preferred_element_type=f32)
+            sre = jnp.dot(xrs, tbf_ref[:], preferred_element_type=f32)
+            sim = jnp.dot(xis, tbf_ref[:], preferred_element_type=f32)
+            dsre = (2.0 * sre * dp).astype(bf)
+            dsim = (2.0 * sim * dp).astype(bf)
+            dt_acc = dt_acc + jax.lax.dot_general(
+                xrs, dsre, dims, preferred_element_type=f32)
+            dt_acc = dt_acc + jax.lax.dot_general(
+                xis, dsim, dims, preferred_element_type=f32)
     if nyq:
         # dT[u, k*LANE] += sum_r X'[r, c0+u] * 2 S_nyq[r] dp_nyq[r];
         # the contribution lands in ONE column per sigma block, written
@@ -801,7 +873,12 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
             if (n_fft > 1024 or rows > 512
-                or (k_sig > 1 and rows > ROWS_MULTI)) else None),
+                or (k_sig > 1 and rows > ROWS_MULTI)
+                # the stacked band conv's (2*nt_g*rows, width) LHS +
+                # splits + output add ~7 MB of scheduling estimate at
+                # the 1024/rows=512 geometry
+                or ((STACK_BAND or STACK_BAND_FWD)
+                    and not lowbin_fix)) else None),
         interpret=interpret,
     )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
@@ -853,6 +930,14 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
                                lambda bi, ki: (bi, ki, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nblk, width, k_sig * LANE),
                                        jnp.float32),
+        # the stacked adjoint's (2*nt_g*rows, width) concat + its f32
+        # recompute exceed the default scheduling budget at the larger
+        # buckets (measured: 24.8 MB at 4096) — same scheduling-only
+        # raise as the forward
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
+            if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
+                and k_sig == 1 and n_fft >= 1024) else None),
         interpret=interpret,
     )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn, fbn)
     dtmat = dt_part.sum(axis=(0, 1))

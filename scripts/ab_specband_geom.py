@@ -93,10 +93,11 @@ VARIANTS_K3 = {
            ("r256.c2", (256, 2, 2048)),
            ("r512.c2", (512, 2, 2048)),
            ("r256.c4", (256, 4, 2048))],
-    4096: [("r128.c4 (prod)", (128, 4, 4096)),
+    4096: [("r128.c2 (prod eff)", (128, 2, 4096)),
            ("r256.c4", (256, 4, 4096)),
            ("r256.c2", (256, 2, 4096)),
-           ("r512.c4", (512, 4, 4096))],
+           ("r512.c4", (512, 4, 4096)),
+           ("r512.c2", (512, 2, 4096))],
 }
 LAMS_K3 = {1024: (100.0, 115.0, 128.0),
            2048: (180.0, 204.8, 240.0),
