@@ -72,9 +72,12 @@ LANE = 128
 MEL_PAD = 128
 #: frames per kernel block.  512 doubles the phase-0 base-GEMM row
 #: fill vs 256 (gr = ROWS/g rows feed the MXU; +5% end-to-end,
-#: measured) and stays under the 16 MB scoped VMEM for K = 1; the
-#: multi-sigma kernel's K-wide band intermediates need the smaller
-#: block (K = 3 at ROWS = 512 measured 1.5 MB over).
+#: measured).  Round 4: rows=512 is the adopted block for K > 1 too —
+#: the K-wide band intermediates only exceeded XLA's DEFAULT 16 MB
+#: scoped-vmem *scheduling estimate* (round 2 "1.5 MB over"), and the
+#: raised budget unlocks 7-43% at the K=3 buckets (ab_specband_geom
+#: --multi, results/ab_multi_r4.txt).  ROWS_MULTI remains the
+#: threshold above which a K>1 compilation needs the raised budget.
 ROWS = 512
 ROWS_MULTI = 256
 
@@ -201,6 +204,13 @@ def _geom(n_fft: int, hop_length: int, k_sig: int,
     #   (gr=16) 10.56 vs 11.46 ms even though the base GEMM count
     #   doubles — row fill dominates again; c1 and rows>512 fail to
     #   compile at 4096 (VMEM), r1024.c2 at 2048 thrashes (8.58 ms).
+    # round-4 multi-sigma A/B (scripts/ab_specband_geom.py --multi,
+    # K=3 on the certified ladder lambdas, results/ab_multi_r4.txt):
+    # rows=512 + chain=2 wins at EVERY bucket for K>1 too once the
+    # scoped-vmem budget is raised (the round-2 rows=256 default was a
+    # default-budget estimate, not a measurement) — 1024: 5.69 -> 5.33
+    # ms (+6.8%); 2048: 13.87 -> 10.08 (+37.6%); 4096: 29.30 -> 20.47
+    # (+43.1%).  K=1 geometries unchanged from the round-3 A/B.
     if n_fft <= 1024:
         # chain=2 only at the certified 1024 bucket AND only for
         # shallow-fade compilations: the longer rotation chain costs
@@ -209,13 +219,9 @@ def _geom(n_fft: int, hop_length: int, k_sig: int,
         # (hardware ladder: lambda=36 went 8.8e-5 -> 2.7e-4 with
         # chain=2) and sub-1024 test geometries don't need
         chain2 = 2 if (n_fft == 1024 and not lowbin_fix) else 1
-        rows, chain, chunk = ((ROWS, chain2, n_fft) if k_sig == 1
-                              else (ROWS_MULTI, 1, n_fft))
-    elif n_fft == 2048:
-        rows, chain, chunk = (512 if k_sig == 1 else 128), 2, n_fft
-    else:                                   # 4096
-        rows, chain, chunk = ((512, 2, n_fft) if k_sig == 1
-                              else (128, 4, n_fft))
+        rows, chain, chunk = ROWS, chain2, n_fft
+    else:                                   # 2048 / 4096
+        rows, chain, chunk = 512, 2, n_fft
     # Mosaic needs >= 8 sublanes per block (gr >= 8), and rows must
     # split evenly into g_eff = chain*g0 phases
     while chain > 1 and (rows % (g0 * chain) != 0

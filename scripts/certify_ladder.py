@@ -227,10 +227,18 @@ def main():
             return ops.accurate_log(m + 1e-10)
 
         lj = jnp.asarray(lams, jnp.float32)
-        got = np.asarray(jax.jit(mfeat)(lj, xj))
+        for attempt in (1, 2, 3):   # same transient-relay retry as K=1
+            try:
+                got = np.asarray(jax.jit(mfeat)(lj, xj))
+                g = np.asarray(jax.jit(jax.grad(
+                    lambda ls, x: mfeat(ls, x).sum()))(lj, xj))
+                break
+            except Exception as e:
+                if attempt == 3:
+                    raise
+                print(f"  transient failure ({type(e).__name__}), retry "
+                      f"{attempt} ...", file=sys.stderr, flush=True)
         ferr = float(np.max(np.abs(got - ref_feat)))
-        g = np.asarray(jax.jit(jax.grad(
-            lambda ls, x: mfeat(ls, x).sum()))(lj, xj))
         gerr = float(np.max(np.abs(g - ref_grad)
                             / np.maximum(np.abs(ref_grad), 1e-30)))
         ok = ferr <= 1e-4 and gerr <= 1e-2

@@ -29,10 +29,11 @@ HBM_BW = 0.819e12           # bytes/s
 # measured fwd+bwd ms/batch on v5e (B=128 x 5 s @ 8 kHz, hop 80,
 # 64 mels; RTT-amortized on-device loops, this round's runs)
 MEASURED = {
-    # A/B-adopted geometries (scripts/ab_specband_geom.py, round 3)
-    1024: dict(lam=128.0, ms=2.42),    # bench headline (J=24, chain=2)
-    2048: dict(lam=204.8, ms=4.62),    # rows=512, chain=2 (J=12)
-    4096: dict(lam=409.6, ms=10.56),   # rows=512, chain=2 (J=12)
+    # A/B-adopted geometries (round 3) + the round-4 stacked backward
+    # (STACK_BAND_BWD, nt_g <= 8 — results/diag_1024_residual_r4.txt)
+    1024: dict(lam=128.0, ms=2.375),   # bench headline (J=24, chain=2)
+    2048: dict(lam=204.8, ms=4.475),   # rows=512, chain=2 (J=12)
+    4096: dict(lam=409.6, ms=10.54),   # rows=512, chain=2 (J=12; bwd per-tile)
 }
 B, T, SR, HOP, N_MELS = 128, 40000, 8000, 80, 64
 
