@@ -877,7 +877,11 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         # estimate 1.5 MB over at rows=512 — the budget is
         # scheduling-only, so the A/B can measure those geometries)
         compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
+            # 110 MB at 4096: the resident working set measures ~86 MB
+            # solo but a VMAPPED trial pack (parallel/trials.py) adds
+            # ~1 MB of operand window over the old 100 MB budget
+            # (measured: 101.11 MB estimate, scripts/bench_packed_pallas)
+            vmem_limit_bytes=(110 if n_fft > 2048 else 36) * 1024 * 1024)
             if (n_fft > 1024 or rows > 512
                 or (k_sig > 1 and rows > ROWS_MULTI)
                 # the stacked band conv's (2*nt_g*rows, width) LHS +
