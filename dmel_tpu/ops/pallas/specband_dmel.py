@@ -117,6 +117,22 @@ STACK_BAND = False          # fwd+bwd: measured regression; see PERF.md
 STACK_BAND_FWD = False
 STACK_BAND_BWD = True
 
+#: Emit the mel output (and read the bwd cotangent) in FRAME order by
+#: permuting (g, gr) <-> (gr, g) in-kernel, so the XLA boundary is a
+#: pure reshape instead of a materialized (b, nblk*rows, MEL_PAD)
+#: transpose round-trip on both passes.  Hardware A/B (v5e, B=128 x
+#: 5 s fwd+bwd, bitwise-identical outputs): 1024: 2.361 -> 2.312 ms
+#: (+2.1%); 2048: 4.460 -> 4.500 (-0.9%) — adopted via
+#: :func:`_frame_io` at n_fft <= 1024 only (the in-kernel sublane
+#: permute costs the same per block while the XLA transpose saving
+#: shrinks relative to the larger buckets' GEMM time).
+FRAME_ORDER_IO = True
+
+
+def _frame_io(n_fft: int, g: int) -> bool:
+    """Whether this compilation uses in-kernel frame-order IO."""
+    return FRAME_ORDER_IO and g > 1 and n_fft <= 1024
+
 #: Diagnostic-only ablation switches (trace-time static; production is
 #: ALWAYS the empty set).  scripts/diag_1024_residual.py monkeypatches
 #: this to apportion the non-MXU residual at the headline geometry by
@@ -605,15 +621,25 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
             sim = jnp.sum(xi_sl * tn, axis=1, keepdims=True)
             p = sre * sre + sim * sim                       # (ROWS, 1)
             mel_acc = mel_acc + p * fbn_ref[k, :][None, :]
+    if _frame_io(n_fft, g):
+        # kernel rows are phase-major (c*gr + r); emit frame order
+        # (r*g + c) so the XLA side reshapes instead of transposing
+        mel_acc = (mel_acc.reshape(g, gr, MEL_PAD).swapaxes(0, 1)
+                   .reshape(g * gr, MEL_PAD))
     mel_ref[0] = mel_acc
 
 
 def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
-                dt_ref, *, nt_g, nyq, kpad, j_taps, k_sig):
+                dt_ref, *, nt_g, nyq, kpad, j_taps, k_sig, g=1, gr=1,
+                frame_io=False):
     f32 = jnp.float32
     bf = jnp.bfloat16
     width = LANE + 2 * j_taps
     dmel = dmel_ref[0]
+    if frame_io:
+        # cotangent arrives in frame order; xres rows are phase-major
+        dmel = (dmel.reshape(gr, g, MEL_PAD).swapaxes(0, 1)
+                .reshape(g * gr, MEL_PAD))
     dt_acc = jnp.zeros((width, k_sig * LANE), f32)
     dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
     rows_n = xres_ref.shape[1]
@@ -893,9 +919,12 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
     )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
 
-    mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
-              .transpose(0, 1, 3, 2, 4)
-              .reshape(b, nblk * rows, MEL_PAD))[:, :nfr, :n_mels]
+    if _frame_io(n_fft, g):
+        mel_fr = mel_pm[:, :nfr, :n_mels]      # kernel emitted frame order
+    else:
+        mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
+                  .transpose(0, 1, 3, 2, 4)
+                  .reshape(b, nblk * rows, MEL_PAD))[:, :nfr, :n_mels]
     return mel_fr, (xres, tmat, x, nfr, nblk)
 
 
@@ -912,9 +941,10 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
     dmel_p = jnp.pad(dmel_fr, ((0, 0), (0, 0), (0, MEL_PAD - n_mels)))
     dmel_pm = jnp.zeros((b, nblk * rows, MEL_PAD), dmel_p.dtype)
     dmel_pm = dmel_pm.at[:, :nfr, :].set(dmel_p)
-    dmel_pm = (dmel_pm.reshape(b, nblk, gr, g, MEL_PAD)
-               .transpose(0, 1, 3, 2, 4)
-               .reshape(b, nblk * rows, MEL_PAD))
+    if not _frame_io(n_fft, g):
+        dmel_pm = (dmel_pm.reshape(b, nblk, gr, g, MEL_PAD)
+                   .transpose(0, 1, 3, 2, 4)
+                   .reshape(b, nblk * rows, MEL_PAD))
     fb_pad = _fb_pad(n_fft, nt_g, n_mels, sample_rate, f_min, f_max,
                      band_map, k_sig)
     fbt = jnp.asarray(np.ascontiguousarray(np.swapaxes(fb_pad, 0, 1)))
@@ -923,7 +953,8 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
                               band_map, k_sig))
 
     kern = functools.partial(_bwd_kernel, nt_g=nt_g, nyq=nyq, kpad=kpad,
-                             j_taps=j_taps, k_sig=k_sig)
+                             j_taps=j_taps, k_sig=k_sig, g=g, gr=gr,
+                             frame_io=_frame_io(n_fft, g))
     const = lambda bi, ki: (0, 0)
     dt_part = pl.pallas_call(
         kern,
