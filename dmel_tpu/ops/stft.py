@@ -881,7 +881,14 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
         if not on_tpu or n_fft > 2048:
             method = "fft"
         elif n_fft // hop_length <= 32:
-            method = "matmul_ext"
+            # mixed-precision custom VJP: fwd stays at `precision`
+            # (HIGHEST default -> features identical to matmul_ext),
+            # adjoint GEMM in plain bf16 (dlambda ~1.5e-4, gate 1e-3).
+            # Round-4 hardware probe at the 512 certified-floor bucket:
+            # 4.05 -> 2.52 ms/batch (+60%, results/probe_512_mp_r4.txt)
+            # — this is the path auto impl="pallas" floors to below
+            # PALLAS_AUTO_MIN_NFFT, so the floor buckets get it free.
+            method = "matmul_ext_mp"
         else:
             method = "matmul"
     if method == "specgemm":
