@@ -116,6 +116,11 @@ STACK_BAND = False          # fwd+bwd: measured regression; see PERF.md
 #: one K contraction).  K>1 (multi-sigma) unmeasured -> per-tile loop.
 STACK_BAND_FWD = False
 STACK_BAND_BWD = True
+#: extend the stacked adjoint to K>1 (multi-sigma) packs.  Measured a
+#: WASH at the adopted K=3 geometries (v5e: 1024 5.300 -> 5.330 ms,
+#: 2048 10.145 -> 10.114; inside run-to-run spread, grads bitwise) —
+#: stays OFF (results/ab_multi_r4.txt).
+STACK_BAND_BWD_MULTI = False
 
 #: Emit the mel output (and read the bwd cotangent) in FRAME order by
 #: permuting (g, gr) <-> (gr, g) in-kernel, so the XLA boundary is a
@@ -643,7 +648,8 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     dt_acc = jnp.zeros((width, k_sig * LANE), f32)
     dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
     rows_n = xres_ref.shape[1]
-    if (STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8 and k_sig == 1:
+    if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
+            and (k_sig == 1 or STACK_BAND_BWD_MULTI)):
         # stacked adjoint (see STACK_BAND): the nt_g x {re,im} per-tile
         # recompute GEMMs share tbf and the dp GEMMs share fbt, so the
         # 3*nt_g*2 medium GEMMs collapse to three large ones.  dp and
@@ -978,7 +984,8 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
             if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
-                and k_sig == 1 and n_fft >= 1024) else None),
+                and (k_sig == 1 or STACK_BAND_BWD_MULTI)
+                and n_fft >= 1024) else None),
         interpret=interpret,
     )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn, fbn)
     dtmat = dt_part.sum(axis=(0, 1))
