@@ -113,7 +113,10 @@ STACK_BAND = False          # fwd+bwd: measured regression; see PERF.md
 #:   4096: off 10.535 / bwd-on 10.653 ms (-1.1% — 16-tile concat too
 #:         large; the in-kernel gate keeps 4096 on the per-tile loop)
 #: grad deltas 0-4e-7 relative (cross-tile accumulation moves inside
-#: one K contraction).  K>1 (multi-sigma) unmeasured -> per-tile loop.
+#: one K contraction).  The bwd stacking runs for lowbin (deep-fade)
+#: compilations too — certified by the r4 full ladder's specband(+lb)
+#: rungs (only the FWD stacking is lowbin-gated, for its per-tile
+#: precision split).  K>1 (multi-sigma): measured a wash -> per-tile.
 STACK_BAND_FWD = False
 STACK_BAND_BWD = True
 #: extend the stacked adjoint to K>1 (multi-sigma) packs.  Measured a
@@ -978,11 +981,13 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
         out_shape=jax.ShapeDtypeStruct((b, nblk, width, k_sig * LANE),
                                        jnp.float32),
         # the stacked adjoint's (2*nt_g*rows, width) concat + its f32
-        # recompute exceed the default scheduling budget at the larger
-        # buckets (measured: 24.8 MB at 4096) — same scheduling-only
+        # recompute exceed the default 16 MB scheduling budget at the
+        # covered buckets (the nt_g <= 8 gate caps this path at
+        # n_fft = 2048; the 4096 attempt estimated 24.8 MB before the
+        # gate excluded it for being slower) — same scheduling-only
         # raise as the forward
         compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=(100 if n_fft > 2048 else 36) * 1024 * 1024)
+            vmem_limit_bytes=36 * 1024 * 1024)
             if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
                 and (k_sig == 1 or STACK_BAND_BWD_MULTI)
                 and n_fft >= 1024) else None),

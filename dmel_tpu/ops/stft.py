@@ -848,8 +848,11 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
       n_fft: FFT size (static).
       hop_length: hop between frames (static).
       method: one of
-        - "auto": backend-adaptive default — "matmul_ext" on TPU
-          (fastest measured fwd+bwd), "fft" elsewhere;
+        - "auto": backend-adaptive default — on TPU, "matmul_ext_mp"
+          for full-window strided hops (fastest measured fwd+bwd;
+          features identical to "matmul_ext", adjoint in bf16 at
+          ~1.5e-4 dlambda), "matmul_ext"/"matmul" for short windows or
+          dense hops, "fft" elsewhere;
         - "fft": jnp.fft.rfft;
         - "matmul": DFT-as-GEMM on the MXU (explicit frames);
         - "matmul_ext": DFT-as-GEMM with gather-free framing;
@@ -865,9 +868,11 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
           feature parity.
         All methods are numerically equivalent to float32 rounding.
       precision: matmul precision for the matmul paths.
-      x_precision: specgemm only — precision for the lambda-independent
+      x_precision: specgemm — precision for the lambda-independent
         spectra GEMMs (defaults to ``precision``; ``Precision.HIGH``
-        measured parity-safe and ~2x faster than HIGHEST on TPU).
+        measured parity-safe and ~2x faster than HIGHEST on TPU); for
+        matmul_ext_mp (incl. via "auto" on TPU) it sets the adjoint
+        GEMM precision instead (plain bf16 by default).
 
     Returns:
       ``(..., n_fft//2 + 1, num_frames)`` power spectrogram — freq-major,
@@ -888,7 +893,11 @@ def stft_power(x: jnp.ndarray, window: jnp.ndarray, n_fft: int,
             # 4.05 -> 2.52 ms/batch (+60%, results/probe_512_mp_r4.txt)
             # — this is the path auto impl="pallas" floors to below
             # PALLAS_AUTO_MIN_NFFT, so the floor buckets get it free.
-            method = "matmul_ext_mp"
+            # matmul_ext_mp requires win_length == n_fft (true for
+            # every optimized-mode bucket); short-window calls keep
+            # matmul_ext, whose path center-pads the window.
+            method = ("matmul_ext_mp" if window.shape[-1] == n_fft
+                      else "matmul_ext")
         else:
             method = "matmul"
     if method == "specgemm":

@@ -31,7 +31,8 @@ HBM_BW = 0.819e12           # bytes/s
 MEASURED = {
     # A/B-adopted geometries (round 3) + the round-4 stacked backward
     # (STACK_BAND_BWD, nt_g <= 8 — results/diag_1024_residual_r4.txt)
-    1024: dict(lam=128.0, ms=2.375),   # bench headline (J=24, chain=2)
+    1024: dict(lam=128.0, ms=2.312),   # bench headline (J=24, chain=2,
+                                       # + frame-order IO)
     2048: dict(lam=204.8, ms=4.475),   # rows=512, chain=2 (J=12)
     4096: dict(lam=409.6, ms=10.54),   # rows=512, chain=2 (J=12; bwd per-tile)
 }

@@ -429,3 +429,29 @@ class TestRandomizedParity:
                                            hop_length=hop)
         assert ours.shape == theirs.shape, (t, hop, lambd, optimized)
         assert rel_err(ours, theirs) < 1e-5, (t, hop, lambd, optimized)
+
+
+def test_auto_method_short_window_on_tpu(monkeypatch):
+    """Round-4 regression (code-review find): the TPU auto method
+    switched to matmul_ext_mp, which requires win_length == n_fft —
+    faithful-mode calls (win = T, n_fft = 2T) must keep a path that
+    center-pads the window instead of raising."""
+    import jax as _jax
+    import numpy as _np
+    from dmel_tpu.ops import stft as stft_mod
+    from dmel_tpu.ops.window import gaussian_window
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    rng = _np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 500)).astype(_np.float32))
+    w = gaussian_window(20.0, 500)                    # win 500 < n_fft 1000
+    got = stft_mod.stft_power(x, w, 1000, 80, method="auto")
+    want = stft_mod.stft_power(x, w, 1000, 80, method="fft")
+    rel = float(jnp.max(jnp.abs(got - want))
+                / jnp.maximum(jnp.max(jnp.abs(want)), 1.0))
+    assert rel < 1e-5
+    # full-window strided call still picks the mp path on "tpu"
+    w2 = gaussian_window(20.0, 256)
+    got2 = stft_mod.stft_power(x, w2, 256, 80, method="auto")
+    want2 = stft_mod.stft_power(x, w2, 256, 80, method="matmul_ext_mp")
+    assert float(jnp.max(jnp.abs(got2 - want2))) == 0.0
