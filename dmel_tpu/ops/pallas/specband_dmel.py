@@ -119,6 +119,24 @@ STACK_BAND = False          # fwd+bwd: measured regression; see PERF.md
 #: precision split).  K>1 (multi-sigma): measured a wash -> per-tile.
 STACK_BAND_FWD = False
 STACK_BAND_BWD = True
+#: Fold the phase-0 base DFT GEMM via the even/odd midpoint symmetry:
+#: with e[m] = x[m] + x[N-m] and o[m] = x[m] - x[N-m] the real/imag
+#: spectra are half-size GEMMs (K = N/2+1 instead of N), halving the
+#: dominant base-GEMM MACs at the large buckets (43% of fwd MACs at
+#: 4096).  The e/o planes are built in XLA (cheap elementwise + a lane
+#: reversal) and the folded bases replace the full bases — VMEM halves
+#: too.  Resident-basis geometries only (n_chunks == 1).  Per-bucket
+#: adoption from hardware A/B (results/ab_folded_r4.txt, v5e, B=128 x
+#: 5 s fwd+bwd at the bench lambdas, parity vs the exact XLA path in
+#: the same run):
+#:   4096: 10.511 -> 8.955 ms (+17.4%), err 2.3e-5 -> 2.6e-5
+#:   2048:  4.653 -> 4.267 ms  (+9.0%), err 5.0e-5 -> 5.6e-5
+#:   1024:  2.320 -> 2.304 ms  (+0.7% — inside spread, and the 1024
+#:          bench-lambda parity margin is thin at ~9.5e-5: NOT adopted)
+#: grad deltas 0.9-3.7e-7 relative.  Full 2048/4096 ladder + K=3 rungs
+#: re-certified post-adoption (results/certify_ladder_r4_full.txt).
+FOLDED_BASE_NFFTS: tuple = (2048, 4096)
+
 #: extend the stacked adjoint to K>1 (multi-sigma) packs.  Measured a
 #: WASH at the adopted K=3 geometries (v5e: 1024 5.300 -> 5.330 ms,
 #: 2048 10.145 -> 10.114; inside run-to-run spread, grads bitwise) —
@@ -302,6 +320,48 @@ def _bases_np(n_fft: int, j_taps: int, kpad: int):
 
 
 @functools.lru_cache(maxsize=16)
+def _folded_bases_np(n_fft: int, j_taps: int, kpad: int):
+    """Half-size phase-flipped bases for the even/odd folded base DFT.
+
+    Row m = 0..N/2 of the (khp, kpad) pair:
+      ce[m, j] = cos(2 pi m k / N) * (-1)^k   (contracted against e)
+      se[m, j] = -sin(2 pi m k / N) * (-1)^k  (contracted against o)
+    with k = j - J as in :func:`_bases_np`; khp pads N/2+1 rows to a
+    sublane multiple.  ``pr = e @ ce`` / ``pi = o @ se`` reproduce the
+    full-basis spectra exactly (cos is m-symmetric, sin antisymmetric
+    about N/2)."""
+    n_bins = n_fft // 2 + 1
+    kh = n_fft // 2 + 1
+    khp = _round_up(kh, 8)
+    k = np.arange(kpad)[None, :] - j_taps
+    valid = (k >= -j_taps) & (k < n_bins + j_taps)
+    flip = np.where(k % 2 == 0, 1.0, -1.0)
+    m = np.arange(khp)[:, None]
+    row_ok = m < kh
+    ang = 2.0 * np.pi * m * k / n_fft
+    ce = np.where(valid & row_ok, np.cos(ang) * flip, 0.0)
+    se = np.where(valid & row_ok, -np.sin(ang) * flip, 0.0)
+    return ce.astype(np.float32), se.astype(np.float32), khp
+
+
+def _eo_layout(xg, n_fft: int, khp: int):
+    """(b, ngrp, l_row) -> folded phase-0 operand (b, ngrp, 2*khp):
+    cols [:khp] hold e = [x0, x[m]+x[N-m], x[N/2], 0-pad], cols [khp:]
+    hold o = [0, x[m]-x[N-m], 0, 0-pad] for m = 1..N/2-1."""
+    h = n_fft // 2
+    fr = xg[..., :n_fft]
+    x0 = fr[..., 0:1]
+    mid = fr[..., h:h + 1]
+    a = fr[..., 1:h]
+    brev = fr[..., :h:-1]                     # m = N-1 .. N/2+1
+    zpad = jnp.zeros(fr.shape[:-1] + (khp - h - 1,), fr.dtype)
+    z1 = jnp.zeros_like(x0)
+    e = jnp.concatenate([x0, a + brev, mid, zpad], axis=-1)
+    o = jnp.concatenate([z1, a - brev, z1, zpad], axis=-1)
+    return jnp.concatenate([e, o], axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
 def _delta_bases_np(n_fft: int, hop_length: int, j_taps: int, kpad: int):
     c, s = _bases_np(n_fft, j_taps, kpad)
     dc = c[:LANE].copy()
@@ -399,7 +459,8 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 roti_ref, tmat_ref, fbhi_ref, fblo_ref, tn_ref,
                 fbn_ref, mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr,
                 hop_length, n_fft, hop_ext, nt_g, nyq, kpad, j_taps,
-                k_sig, lowbin_fix, n_chunks, interpret):
+                k_sig, lowbin_fix, n_chunks, interpret, folded=False,
+                khp=0):
     f32 = jnp.float32
     width = LANE + 2 * j_taps
     # lowbin_fix level 2 (small-n_fft full ladder): the correction
@@ -440,14 +501,39 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # correction accumulates chunk-wise too.  n_chunks == 1 (n_fft <=
     # 1024, whole basis VMEM-resident) keeps the certified round-2
     # codegen: no predication, base value stays in registers.
-    base = xgc_ref[0]
-    pr = _dot3(base, bchi_ref[:], bclo_ref[:])
-    pi = _dot3(base, bshi_ref[:], bslo_ref[:])
-    if lowbin_fix:
-        cr, ci = dc_corr(base, gr, bchi_ref, bclo_ref, bshi_ref,
-                         bslo_ref)
-        pr = pr + cr
-        pi = pi + ci
+    def dc_corr1(a32, hs, ls):
+        # single-plane 3-way-split correction (folded bases contract e
+        # against ce only / o against se only)
+        ahi, alo = _split_hi_lo(a32)
+        alo2 = _lo2(a32, ahi, alo)
+        c = (jnp.dot(alo2, hs[:, :lad_cols], preferred_element_type=f32)
+             + jnp.dot(alo, ls[:, :lad_cols], preferred_element_type=f32))
+        if lad_cols == kpad:
+            return c
+        return jnp.concatenate(
+            [c, jnp.zeros((a32.shape[0], kpad - lad_cols), f32)], axis=1)
+
+    if folded:
+        # even/odd folded base: e @ ce and o @ se at K = N/2+1
+        # (FOLDED_BASE_NFFTS; bchi/bclo hold the folded ce planes and
+        # bshi/bslo the folded se planes, xgc holds [e | o])
+        eo = xgc_ref[0]
+        e_blk = eo[:, :khp]
+        o_blk = eo[:, khp:]
+        pr = _dot3(e_blk, bchi_ref[:], bclo_ref[:])
+        pi = _dot3(o_blk, bshi_ref[:], bslo_ref[:])
+        if lowbin_fix:
+            pr = pr + dc_corr1(e_blk, bchi_ref, bclo_ref)
+            pi = pi + dc_corr1(o_blk, bshi_ref, bslo_ref)
+    else:
+        base = xgc_ref[0]
+        pr = _dot3(base, bchi_ref[:], bclo_ref[:])
+        pi = _dot3(base, bshi_ref[:], bslo_ref[:])
+        if lowbin_fix:
+            cr, ci = dc_corr(base, gr, bchi_ref, bclo_ref, bshi_ref,
+                             bslo_ref)
+            pr = pr + cr
+            pi = pi + ci
 
     if n_chunks == 1:
         xr_scr[0:gr, :] = pr
@@ -837,9 +923,16 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
     # ops on constants are staged under a jit trace, where XLA's
     # excess-precision rewrite can zero a split's lo plane (round-3
     # find on the K>1 filterbank; see _np_split_hi_lo)
-    bc, bs = _bases_np(n_fft, j_taps, kpad)
-    bchi, bclo = _np_split_hi_lo(bc)
-    bshi, bslo = _np_split_hi_lo(bs)
+    folded = n_fft in FOLDED_BASE_NFFTS and n_chunks == 1
+    if folded:
+        ce, se, khp = _folded_bases_np(n_fft, j_taps, kpad)
+        bchi, bclo = _np_split_hi_lo(ce)
+        bshi, bslo = _np_split_hi_lo(se)
+    else:
+        khp = 0
+        bc, bs = _bases_np(n_fft, j_taps, kpad)
+        bchi, bclo = _np_split_hi_lo(bc)
+        bshi, bslo = _np_split_hi_lo(bs)
     dc, ds = _delta_bases_np(n_fft, hop_length, j_taps, kpad)
     dchi, dclo = _np_split_hi_lo(dc)
     dshi, dslo = _np_split_hi_lo(ds)
@@ -856,23 +949,34 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
         hop_ext=hop_ext, nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
         k_sig=k_sig, lowbin_fix=lowbin_fix, n_chunks=n_chunks,
-        interpret=interpret)
+        interpret=interpret, folded=folded, khp=khp)
     const = lambda bi, ki, kc: (0, 0)
+    if folded:
+        base_op = _eo_layout(xg, n_fft, khp)
+        base_spec = pl.BlockSpec((1, gr, 2 * khp),
+                                 lambda bi, ki, kc: (bi, ki, 0))
+        basis_spec = pl.BlockSpec((khp, kpad), const)
+    else:
+        base_op = xg
+        base_spec = pl.BlockSpec((1, gr, chunk),
+                                 lambda bi, ki, kc: (bi, ki, kc))
+        basis_spec = pl.BlockSpec((chunk, kpad),
+                                  lambda bi, ki, kc: (kc, 0))
     mel_pm, xres = pl.pallas_call(
         kern,
         grid=(b, nblk, n_chunks),
         in_specs=[
-            # chunked view of xg for the streamed base GEMM (same
-            # array as the full view below; tiny, so the duplicate
-            # traffic is noise) ...
-            pl.BlockSpec((1, gr, chunk), lambda bi, ki, kc: (bi, ki, kc)),
+            # base-GEMM operand: chunked view of xg (same array as the
+            # full view below), or the folded [e | o] planes ...
+            base_spec,
             # ... and the full group-row view for the delta GEMMs
             pl.BlockSpec((1, gr, l_row), lambda bi, ki, kc: (bi, ki, 0)),
-            # the four big bases stream (chunk, kpad) tiles along kc
-            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
-            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
-            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
-            pl.BlockSpec((chunk, kpad), lambda bi, ki, kc: (kc, 0)),
+            # the four base-basis planes: full (chunk, kpad) tiles
+            # streamed along kc, or the folded (khp, kpad) ce/se pairs
+            basis_spec,
+            basis_spec,
+            basis_spec,
+            basis_spec,
             pl.BlockSpec((LANE, kpad), const),
             pl.BlockSpec((LANE, kpad), const),
             pl.BlockSpec((LANE, kpad), const),
@@ -925,7 +1029,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
                 or ((STACK_BAND or STACK_BAND_FWD)
                     and not lowbin_fix)) else None),
         interpret=interpret,
-    )(xg, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
+    )(base_op, xg, bchi, bclo, bshi, bslo, dchi, dclo, dshi, dslo,
       jnp.asarray(rr), jnp.asarray(ri), tmat, fbhi, fblo, tapsn, fbn)
 
     if _frame_io(n_fft, g):

@@ -29,12 +29,13 @@ HBM_BW = 0.819e12           # bytes/s
 # measured fwd+bwd ms/batch on v5e (B=128 x 5 s @ 8 kHz, hop 80,
 # 64 mels; RTT-amortized on-device loops, this round's runs)
 MEASURED = {
-    # A/B-adopted geometries (round 3) + the round-4 stacked backward
-    # (STACK_BAND_BWD, nt_g <= 8 — results/diag_1024_residual_r4.txt)
+    # A/B-adopted geometries (round 3) + round-4 levers: stacked bwd
+    # (nt_g <= 8), frame-order IO (<=1024), folded base (2048/4096) —
+    # results/{diag_1024_residual,ab_folded}_r4.txt
     1024: dict(lam=128.0, ms=2.312),   # bench headline (J=24, chain=2,
                                        # + frame-order IO)
-    2048: dict(lam=204.8, ms=4.475),   # rows=512, chain=2 (J=12)
-    4096: dict(lam=409.6, ms=10.54),   # rows=512, chain=2 (J=12; bwd per-tile)
+    2048: dict(lam=204.8, ms=4.267),   # rows=512, chain=2 (J=12, folded)
+    4096: dict(lam=409.6, ms=8.955),   # rows=512, chain=2 (J=12, folded)
 }
 B, T, SR, HOP, N_MELS = 128, 40000, 8000, 80, 64
 
@@ -52,7 +53,10 @@ def count(n_fft, lam):
     blocks = B * nblk
     f = {}
     # ---- forward MXU pass-MACs per block (_fwd_kernel/_fwd_rest) ----
-    f["base (bf16x3 re+im)"] = gr * n_fft * kpad * 6
+    # folded base (FOLDED_BASE_NFFTS): e@ce + o@se at K = n_fft/2+1
+    folded = n_fft in sb.FOLDED_BASE_NFFTS
+    base_k = (n_fft // 2 + 1) if folded else n_fft
+    f["base (bf16x3 re+im)"] = gr * base_k * kpad * 6
     f["deltas (bf16x3 re+im)"] = (g - 1) * gr * LANE * kpad * 6
     f["band conv (bf16x3 re+im)"] = nt_g * rows * width * LANE * 6
     f["mel GEMM (bf16x4)"] = nt_g * rows * (k_sig * LANE) * MEL_PAD * 4
@@ -69,8 +73,12 @@ def count(n_fft, lam):
         + (rows * LANE * 8 if nyq else 0)
     # ---- HBM bytes per batch ----
     bytes_fwd = (
-        2 * B * nblk * gr * l_row * 4          # xg, two views (f32)
-        + 4 * n_fft * kpad * 2 * 2             # resident bases hi+lo, once
+        B * nblk * gr * l_row * 4              # xg full view (f32)
+        # base operand: chunked xg view, or the folded [e|o] planes
+        # (built in XLA: one extra write + kernel read)
+        + (3 if folded else 1) * B * nblk * gr * 2
+        * (base_k if folded else n_fft // 2) * 4
+        + 4 * base_k * kpad * 2 * 2            # resident bases hi+lo, once
         + B * nblk * rows * 2 * kpad * 2       # xres write (bf16)
         + B * nblk * rows * MEL_PAD * 4        # mel write (f32)
         + B * T * 4 * 2)                       # x read + xg build write
