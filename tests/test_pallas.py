@@ -650,3 +650,56 @@ class TestSpecbandKernel:
         err = float(jnp.max(jnp.abs(jnp.log(got + 1e-10)
                                     - jnp.log(want + 1e-10))))
         assert err < 1.5e-4, err
+
+
+class TestFoldedBase:
+    """Round-4 folded (even/odd) base DFT: e/o planes against half-size
+    bases (FOLDED_BASE_NFFTS, adopted at 2048/4096 on hardware —
+    results/ab_folded_r4.txt).  CI drives the path at a tiny interpret
+    geometry; hardware parity is gated by the certify ladder."""
+
+    def _logmel(self, x, lam, n_fft, hop, lb=False):
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        from dmel_tpu.ops.window import gaussian_window
+        w = gaussian_window(lam, n_fft)
+        m = sb.specband_mel_power(x, w, n_fft=n_fft, hop_length=hop,
+                                  n_mels=64, sample_rate=8000,
+                                  lowbin_fix=lb, interpret=True)
+        return jnp.log(m + 1e-10)
+
+    def test_folded_matches_unfolded(self, rng, monkeypatch):
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        x = jnp.asarray(rng.standard_normal((2, 2500)).astype(np.float32))
+        a = self._logmel(x, 25.0, 256, 64)
+        monkeypatch.setattr(sb, "FOLDED_BASE_NFFTS", (256,))
+        b = self._logmel(x, 25.0, 256, 64)
+        # same quantization class (the fold changes rounding pairing;
+        # tiny geometries sit at the known small-n_fft floor)
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-4
+        # gradient flows and matches
+        ga = jax.grad(lambda l: self._logmel(x, l, 256, 64).sum())(
+            jnp.float32(25.0))
+        monkeypatch.setattr(sb, "FOLDED_BASE_NFFTS", ())
+        gb = jax.grad(lambda l: self._logmel(x, l, 256, 64).sum())(
+            jnp.float32(25.0))
+        assert abs(float(ga - gb)) / abs(float(gb)) < 1e-4
+
+    def test_folded_lowbin_and_multisigma(self, rng, monkeypatch):
+        from dmel_tpu.ops import dmel as dmel_mod
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        x = jnp.asarray(rng.standard_normal((2, 2500)).astype(np.float32))
+        # lowbin correction on the folded operands
+        a = self._logmel(x, 18.0, 256, 64, lb=True)
+        monkeypatch.setattr(sb, "FOLDED_BASE_NFFTS", (256,))
+        b = self._logmel(x, 18.0, 256, 64, lb=True)
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-4
+        # multi-sigma shares the folded spectra pass
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        lams = [20.0, 24.0, 26.0]
+        m = dmel_mod.multi_sigma_mel_spectrogram(
+            x, jnp.asarray(lams), n_mels=64, sample_rate=8000,
+            hop_length=64, optimized=True, window_length=256,
+            impl="pallas", lambd_hint=lams)
+        assert m.shape == (2, 64, x.shape[-1] // 64 + 1)
+        assert bool(jnp.all(jnp.isfinite(m)))
