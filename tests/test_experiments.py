@@ -271,3 +271,28 @@ class TestPallasDefault:
                          output_dir=str(tmp_path), data_dir="/tmp",
                          space=pallas_space())
         assert calls, "specband kernel never dispatched by the runner"
+
+    def test_packed_runner_engages_specband_hint(self, tmp_path,
+                                                 monkeypatch):
+        """run_sweep_packed (the --pack CLI path) with impl='pallas'
+        rides the specband kernel when the pack shares one
+        static-switch region (VERDICT r3 next #4 at the runner
+        level)."""
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        calls = []
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("j_taps"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        space = pallas_space(trainable=experiments.grid_search(
+            [True, False]))   # 2 trials, same init_lambd -> one region
+        sweep_dir = runner.run_sweep_packed(
+            "pallas_packed_tiny", num_samples=1, max_epochs=1,
+            output_dir=str(tmp_path), data_dir="/tmp", space=space)
+        assert calls, "packed runner never dispatched specband"
+        assert os.path.isfile(os.path.join(sweep_dir, "results.csv"))
