@@ -67,3 +67,60 @@ class BatchLoader:
                     continue
             mask = np.ones(len(idx), dtype=bool)
             yield self.xs[idx], self.ys[idx], mask
+
+
+class PrefetchIterator:
+    """Depth-bounded background prefetch of transformed batches.
+
+    Wraps any batch iterable and applies ``transform`` (typically the
+    host->device placement, e.g. ``jnp.asarray`` per field) on a
+    background thread, keeping up to ``depth`` batches in flight.  On
+    TPU this overlaps host batch slicing + H2D transfer with device
+    compute — JAX dispatch is asynchronous, so by the time the training
+    loop asks for batch i+1 its transfer was already enqueued while
+    batch i computed.  (The reference gets the same overlap from torch
+    DataLoader's worker processes, /root/reference/main.py:20-21.)
+
+    Exceptions raised by the source iterator or the transform are
+    re-raised in the consumer thread at the corresponding position.
+    Iteration is single-pass; build a fresh instance (or call with a
+    fresh ``iter()``) per epoch.
+    """
+
+    class _Done:
+        """Private end-of-stream marker (carries a worker exception) —
+        a dedicated type so no legitimate batch value can collide."""
+
+        def __init__(self, error=None):
+            self.error = error
+
+    def __init__(self, iterable, transform=None, depth: int = 2):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=max(1, int(depth)))
+        self._transform = transform
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(self._transform(item)
+                                if self._transform is not None else item)
+            except BaseException as e:          # noqa: BLE001 — repropagated
+                self._q.put(PrefetchIterator._Done(e))
+                return
+            self._q.put(PrefetchIterator._Done())
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, PrefetchIterator._Done):
+            self._thread.join()
+            if item.error is not None:
+                raise item.error
+            raise StopIteration
+        return item

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from dmel_tpu.data.loader import BatchLoader
+from dmel_tpu.data.loader import BatchLoader, PrefetchIterator
 from dmel_tpu.models.registry import get_model_by_config, n_classes_for
 from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training import checkpoint as ckpt
@@ -247,6 +247,23 @@ def fit(config: dict, trainset, validset, *,
     else:
         place = jnp.asarray
 
+    # Host->device pipelining: placement (slicing + H2D transfer) runs
+    # on a background thread, `prefetch` batches ahead — on TPU this
+    # overlaps the transfer with device compute (the reference gets the
+    # same overlap from DataLoader workers, main.py:20-21).  Default ON
+    # for single-process runs; multi-process placement uses cross-host
+    # assembly whose call order must match across ranks, so it stays on
+    # the main thread unless explicitly requested.
+    prefetch = int(config.get("prefetch",
+                              2 if jax.process_count() == 1 else 0))
+
+    def placed(loader):
+        it = ((place(xs), place(ys), place(mask))
+              for xs, ys, mask in loader)
+        if prefetch > 0:
+            return PrefetchIterator(it, depth=prefetch)
+        return it
+
     history = {
         "best_valid_acc": 0.0,
         "best_valid_loss": np.inf,
@@ -284,7 +301,7 @@ def fit(config: dict, trainset, validset, *,
         # float() would block on the step and add a full dispatch
         # round-trip each iteration (VERDICT r1 weak #3).
         step_metrics = []
-        for xs, ys, mask in trainloader:
+        for xs, ys, mask in placed(trainloader):
             if optimized and bucket_update == "step":
                 # reference-exact per-step bucket re-selection requires
                 # reading lambd back each step (one sync); the default
@@ -298,8 +315,7 @@ def fit(config: dict, trainset, validset, *,
                     wl, hint = new_wl, new_hint
                     model, train_step, eval_step = steps_for(wl, hint)
             params, opt_state, batch_stats, rng, m = train_step(
-                params, opt_state, batch_stats, rng,
-                place(xs), place(ys), place(mask))
+                params, opt_state, batch_stats, rng, xs, ys, mask)
             step_metrics.append(m)
         count = len(step_metrics)
         agg = jax.device_get(step_metrics)      # single fetch per epoch
@@ -312,9 +328,9 @@ def fit(config: dict, trainset, validset, *,
 
         # --- valid epoch (same device-side accumulation) -------------
         valid_metrics = []
-        for xs, ys, mask in validloader:
-            valid_metrics.append(eval_step(params, batch_stats, place(xs),
-                                           place(ys), place(mask)))
+        for xs, ys, mask in placed(validloader):
+            valid_metrics.append(eval_step(params, batch_stats, xs,
+                                           ys, mask))
         v_n = len(valid_metrics)
         vagg = jax.device_get(valid_metrics)
         valid_loss = sum(float(a["loss"]) for a in vagg) / max(v_n, 1)

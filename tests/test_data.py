@@ -212,3 +212,59 @@ class TestProfiling:
         assert s["steps"] == 2  # first excluded (compile)
         assert s["audio_s_per_s_per_chip"] == pytest.approx(
             10.0 / s["mean_step_s"] / 2)
+
+
+class TestPrefetchIterator:
+    def _ds(self, n=10):
+        from dmel_tpu import data
+        xs = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+        ys = np.arange(n, dtype=np.int32)
+        return data.ArrayDataset(xs, ys, 8000)
+
+    def test_yields_identical_batches_in_order(self):
+        from dmel_tpu.data.loader import BatchLoader, PrefetchIterator
+        ds = self._ds()
+        direct = list(BatchLoader(ds, 4, shuffle=True, seed=3))
+        pref = list(PrefetchIterator(
+            iter(BatchLoader(ds, 4, shuffle=True, seed=3)), depth=2))
+        assert len(direct) == len(pref)
+        for a, b in zip(direct, pref):
+            for x, y in zip(a, b):
+                assert (np.asarray(x) == np.asarray(y)).all()
+
+    def test_transform_applied_and_exception_propagates(self):
+        from dmel_tpu.data.loader import PrefetchIterator
+        out = list(PrefetchIterator(iter([1, 2, 3]),
+                                    transform=lambda v: v * 10))
+        assert out == [10, 20, 30]
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = PrefetchIterator(bad())
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
+
+    def test_fit_with_prefetch_matches_without(self):
+        """fit()'s prefetched placement is bit-equivalent to inline
+        placement (same batches, same order, same device values)."""
+        from dmel_tpu import training
+        cfg = dict(model_name="mel_linear_net", dataset_name="audio_mnist",
+                   init_lambd=10.0, n_points=256, hop_length=16,
+                   optimized=False, normalize_window=False, n_mels=16,
+                   resample_rate=8000, energy_normalize=True,
+                   optimizer_name="sgd", lr_model=1e-3, lr_tf=1.0,
+                   trainable=True, batch_size=8, max_epochs=2,
+                   patience=100)
+        rng = np.random.default_rng(0)
+        from dmel_tpu import data
+        xs = rng.standard_normal((24, 256)).astype(np.float32)
+        ys = rng.integers(0, 10, 24).astype(np.int32)
+        tr = data.ArrayDataset(xs, ys, 8000)
+        _, h0 = training.fit(dict(cfg, prefetch=0), tr, tr, seed=0)
+        _, h2 = training.fit(dict(cfg, prefetch=2), tr, tr, seed=0)
+        for a, b in zip(h0["records"], h2["records"]):
+            assert a["loss"] == b["loss"]
+            assert a["valid_loss"] == b["valid_loss"]
