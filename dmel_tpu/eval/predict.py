@@ -14,7 +14,7 @@ import os
 import jax
 import numpy as np
 
-from dmel_tpu.data.loader import BatchLoader
+from dmel_tpu.data.loader import BatchLoader, PrefetchIterator
 from dmel_tpu.data.registry import get_dataset_by_config
 from dmel_tpu.experiments.runner import get_config_by_row, load_results
 from dmel_tpu.models.registry import get_model_by_config
@@ -78,9 +78,11 @@ def predictions_by_row(row: dict, testloader) -> tuple:
         return logits
 
     preds, labels = [], []
-    for xs, ys, mask in testloader:
-        scores = np.asarray(forward(params, batch_stats,
-                                    jax.numpy.asarray(xs)))
+    it = PrefetchIterator(
+        ((jax.numpy.asarray(xs), ys, mask) for xs, ys, mask in testloader),
+        depth=2)
+    for xd, ys, mask in it:
+        scores = np.asarray(forward(params, batch_stats, xd))
         if ys.ndim == 2:                      # multi-label: keep scores
             preds.append(scores[mask])
         else:                                 # single-label: argmax

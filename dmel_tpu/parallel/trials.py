@@ -24,7 +24,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dmel_tpu.data.loader import BatchLoader
+from dmel_tpu.data.loader import BatchLoader, PrefetchIterator
 from dmel_tpu.models.registry import get_model_by_config, n_classes_for
 from dmel_tpu.ops.spectrogram import bucketed_window_length
 from dmel_tpu.training.train import _loss_and_metrics
@@ -232,13 +232,25 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
             active = jax.device_put(active, trial_sh)
         sums = np.zeros(k)
         count = 0
-        for batches in zip(*loaders):
+
+        def stack_place(batches):
             xs = jnp.stack([b[0] for b in batches])
             ys = jnp.stack([b[1] for b in batches])
             mask = jnp.stack([b[2] for b in batches])
             if mesh is not None:
                 sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-                xs, ys, mask = (jax.device_put(t, sh) for t in (xs, ys, mask))
+                xs, ys, mask = (jax.device_put(t, sh)
+                                for t in (xs, ys, mask))
+            return xs, ys, mask
+
+        # background-prefetched stacking + placement (same overlap as
+        # fit(); single-process only — see training/train.py)
+        batches_it = zip(*loaders)
+        if jax.process_count() == 1:
+            batches_it = PrefetchIterator(batches_it, stack_place, depth=2)
+        else:
+            batches_it = (stack_place(b) for b in batches_it)
+        for xs, ys, mask in batches_it:
             params, opt_state, batch_stats, rngs, m = step(
                 params, opt_state, batch_stats, lrs, active, rngs, xs, ys,
                 mask)

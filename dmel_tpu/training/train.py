@@ -403,9 +403,11 @@ def predict(config: dict, state: dict, dataset, batch_size: int = 32):
 
     loader = BatchLoader(dataset, batch_size, shuffle=False)
     preds, labels = [], []
-    for xs, ys, mask in loader:
+    it = PrefetchIterator(
+        ((jnp.asarray(xs), ys, mask) for xs, ys, mask in loader), depth=2)
+    for xd, ys, mask in it:
         p = np.asarray(forward(state["params"], state.get("batch_stats"),
-                               jnp.asarray(xs)))
+                               xd))
         preds.append(p[mask])
         labels.append(ys[mask])
     return np.concatenate(labels), np.concatenate(preds)
