@@ -390,13 +390,20 @@ PALLAS_AUTO_MIN_NFFT = 1024
 #: artifact (results/ file + date) next to the entry.
 #:
 #: Currently EMPTY: the 512 reclaim attempt FAILED hardware
-#: certification (results/diag_hiprec_512_r4.txt, 2026-08-20 —
-#: specband(hiprec) diverges from the exact XLA path by 1.15-2.53e-4
-#: ON HARDWARE, identically eager and jitted, while CPU interpret
-#: passes at 3.9-4.7e-5: a Mosaic-codegen numerics gap at the small
-#: geometry, not a jit rewrite or oracle issue).  The level-2 kernel
-#: machinery stays available behind explicit impl="pallas_specband"
-#: for tests and future reclaim attempts.
+#: certification (results/diag_hiprec_512_r4.txt: 1.15-2.53e-4 vs the
+#: 1e-4 gate, identical eager/jit).  ROOT CAUSE (round-4 follow-up,
+#: results/diag_512_bisect_r4.txt): not a codegen bug — a Mosaic
+#: minimal-kernel probe shows the compensated splits are materialized
+#: bitwise — but the banded-conv FORMULATION's cancellation floor:
+#: deep-fade band values form as differences of large extended-bin
+#: spectra, so f32 ACCUMULATION noise (~2^-24 x |X|, untouched by any
+#: operand-precision ladder — hence level 2 moved the number ~0) is
+#: ~1e-4-relative there.  CPU interpret (4e-5) and the MXU (1.6e-4)
+#: sit on either side of that floor by accumulation order alone; the
+#: direct windowed-DFT XLA path has no such cancellation (5e-6).
+#: Reclaiming 512 needs a different formulation (direct-DFT small-
+#: bucket kernel or f64-class accumulation), not more splits.  The
+#: level-2 machinery stays available behind explicit impls.
 SPECBAND_HIPREC_NFFTS: tuple = ()
 
 
