@@ -150,8 +150,19 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 interpret=not fused_dmel._on_tpu())
         # auto dispatch floors the fused kernels at the certified-parity
         # n_fft (stft.PALLAS_AUTO_MIN_NFFT — small n_fft fails the 1e-4
-        # gate on quantization); explicit impls are honored as requested
-        auto_ok = impl != "pallas" or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
+        # gate on quantization); explicit impls are honored as
+        # requested.  Exception (round 4): buckets in FRAMED_AUTO_NFFTS
+        # ride the FRAMED kernel for non-deep-fade static hints — the
+        # direct windowed-DFT formulation has no banded-conv
+        # cancellation floor and is hardware-certified there (see the
+        # constant's doc); deep fades and hintless calls keep the
+        # exact XLA floor.
+        framed_small = (n_fft < _stft.PALLAS_AUTO_MIN_NFFT
+                        and n_fft in _stft.FRAMED_AUTO_NFFTS
+                        and lambd_hint is not None
+                        and not _stft.lowbin_fix_needed(lambd_hint, n_fft))
+        auto_ok = (impl != "pallas"
+                   or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT or framed_small)
         use_framed = (impl not in ("pallas_fused",) and auto_ok
                       and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
@@ -160,13 +171,25 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                              "see framed_dmel.supported")
         if use_framed:
             from dmel_tpu.ops.window import gaussian_window
+            if framed_small:
+                # small-n_fft buckets run the framed kernel with the
+                # lowbin precision fix ALWAYS ON: deep band fades are
+                # generic across lambdas there (round-2 floor finding;
+                # hardware: lambda=63.9@512 measures 1.52e-4 with the
+                # fix off vs 5.8e-5 on — certify_ladder_r4_512framed)
+                lb_fix = True
             w = gaussian_window(lambd, win_length, norm=normalize_window)
             return framed_dmel.framed_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 lowbin_fix=lb_fix,
                 interpret=not fused_dmel._on_tpu())
-        if n_fft > fused_dmel.MAX_N_FFT or not auto_ok:
+        if (n_fft > fused_dmel.MAX_N_FFT or not auto_ok
+                # framed_small only certifies the FRAMED kernel at the
+                # small bucket — if its geometry guard rejected, fall
+                # to the exact XLA floor, never the fused kernel
+                or (framed_small
+                    and n_fft < _stft.PALLAS_AUTO_MIN_NFFT)):
             # Too large: DFT basis (2 x n_fft x n_fft/2 floats) would
             # blow VMEM budgets — the XLA FFT path handles long windows.
             # Too small (auto dispatch only): below the certified-parity

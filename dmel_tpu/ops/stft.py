@@ -407,6 +407,17 @@ PALLAS_AUTO_MIN_NFFT = 1024
 SPECBAND_HIPREC_NFFTS: tuple = ()
 
 
+#: Small-n_fft buckets served by the FRAMED (direct windowed-DFT)
+#: kernel for NON-deep-fade hints: the direct formulation has no
+#: banded-conv cancellation floor, and measured 5.7-7.0e-5 at every
+#: 512-bucket lambda >= the lowbin threshold (win/12 = 42.7) on
+#: hardware at 331k audio-s/s (+30% over the matmul_ext_mp floor) —
+#: certified in results/certify_ladder_r4_512framed.txt (2026-08-20).
+#: Deep-fade hints (lambda < win/12 — measured 1.17e-4 at lambda=33)
+#: and hintless calls stay on the exact XLA floor.
+FRAMED_AUTO_NFFTS: tuple = (512,)
+
+
 def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:
     """Whether the fused kernels' low-bin precision fix is needed for
     this (static) lambda hint.  In production dispatch the hint comes
@@ -475,6 +486,28 @@ def specband_compile_hint(lambd_value: float, n_fft: int,
             or not specband_ok(hint, n_fft, n_fft, hop_length)):
         hint = abs(float(lambd_value))
     return hint
+
+
+def pallas_compile_hint(lambd_value: float, n_fft: int,
+                        hop_length: int) -> float | None:
+    """Canonical static ``lambd_hint`` for the full auto-pallas
+    dispatch: :func:`specband_compile_hint` where the specband window
+    applies, else the FRAMED small-bucket representative for
+    ``FRAMED_AUTO_NFFTS`` (round 4) — the framed kernel has NO
+    truncation window, so the only static switches there are the
+    bucket and the (always-on) lowbin fix: one representative serves
+    the whole non-deep-fade bucket range lambda in (win/12, win/6]
+    (certified across it, results/certify_ladder_r4_512framed.txt).
+    None keeps the exact XLA path."""
+    h = specband_compile_hint(lambd_value, n_fft, hop_length)
+    if h is not None:
+        return h
+    lam = abs(float(lambd_value))
+    if (n_fft in FRAMED_AUTO_NFFTS
+            and not lowbin_fix_needed(lam, n_fft)
+            and lam <= n_fft / 6.0):
+        return 1.001 * n_fft / 12.0
+    return None
 
 
 def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,

@@ -46,15 +46,15 @@ def _shared_specband_hint(c0, wl, lambds, active=None):
     """
     if c0.get("impl") != "pallas" or wl is None:
         return None
-    from dmel_tpu.ops.stft import specband_compile_hint
+    from dmel_tpu.ops.stft import pallas_compile_hint
     hints = []
     for i, lam in enumerate(lambds):
         if active is not None and not active[i]:
             continue
         if not np.isfinite(lam):
             return None
-        hints.append(specband_compile_hint(abs(float(lam)), wl,
-                                           int(c0["hop_length"])))
+        hints.append(pallas_compile_hint(abs(float(lam)), wl,
+                                         int(c0["hop_length"])))
     if not hints or any(h is None for h in hints):
         return None
     return hints[0] if all(h == hints[0] for h in hints) else None

@@ -193,9 +193,9 @@ def fit(config: dict, trainset, validset, *,
         path."""
         if config.get("impl") != "pallas" or wl is None:
             return None
-        from dmel_tpu.ops.stft import specband_compile_hint
-        return specband_compile_hint(lambd_value, wl,
-                                     int(config["hop_length"]))
+        from dmel_tpu.ops.stft import pallas_compile_hint
+        return pallas_compile_hint(lambd_value, wl,
+                                   int(config["hop_length"]))
 
     # --- model/step-fn cache keyed by (window bucket, specband hint) --
     step_cache: dict = {}

@@ -40,7 +40,12 @@ N_MELS = 64
 CASES = ([(lam, 1024) for lam in
           (13.3, 30.0, 36.0, 46.7, 52.0, 64.0, 85.0, 90.0, 100.0,
            106.0, 110.0, 120.0, 128.0, 200.0, 400.0)]
-         + [(lam, 512) for lam in (33.0, 40.0, 46.7, 52.0, 63.9)]
+         # 43.0 = just above the lowbin boundary win/12 (the framed
+         # auto-small route's lower edge, round 4)
+         # 70/85: above the specband truncation window (8*lam > win)
+         # but inside the framed route's bucket range (win/12, win/6]
+         + [(lam, 512) for lam in (33.0, 40.0, 43.0, 46.7, 52.0, 63.9,
+                                   70.0, 85.0)]
          + [(lam, 256) for lam in (16.5, 24.0, 31.9)]
          # round-3 large-n_fft rungs (resident-basis specband):
          # win=2048 bucket lambda in (170.7, 341.3] — J=12 band (175,
@@ -116,6 +121,13 @@ def main():
             # (lowbin_fix level 2, round 3): specband despite the floor
             route = f"specband(hiprec,J={j})"
             fgate, ggate = 1e-4, 1e-2
+        elif (win < stft_mod.PALLAS_AUTO_MIN_NFFT
+              and win in stft_mod.FRAMED_AUTO_NFFTS and not fix
+              and framed_dmel.supported(win, HOP, N_MELS)):
+            # round-4 framed reclaim: the direct windowed-DFT kernel
+            # serves non-deep-fade hints at this bucket
+            route = "framed(auto-small)"
+            fgate, ggate = 1e-4, 1e-3
         elif win < stft_mod.PALLAS_AUTO_MIN_NFFT:
             # below the certified-parity floor the auto dispatch takes
             # the exact XLA path (round-2 find: the kernels' bf16-split

@@ -703,3 +703,51 @@ class TestFoldedBase:
             impl="pallas", lambd_hint=lams)
         assert m.shape == (2, 64, x.shape[-1] // 64 + 1)
         assert bool(jnp.all(jnp.isfinite(m)))
+
+
+class TestFramedAutoSmall:
+    """Round-4 512 reclaim via the FRAMED kernel (direct windowed-DFT
+    formulation — no banded-conv cancellation floor): auto
+    impl='pallas' at n_fft in FRAMED_AUTO_NFFTS rides framed for
+    non-deep-fade hints WITH the lowbin fix forced on (deep fades are
+    generic at small n_fft; hardware: lambda=63.9 measured 1.52e-4
+    with the fix off vs 5.8e-5 on — results/certify_ladder_r4_512framed
+    .txt, all rungs PASS)."""
+
+    def test_dispatch_decisions(self, rng, monkeypatch):
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import framed_dmel as fr
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 1024)
+        assert 512 in stft_mod.FRAMED_AUTO_NFFTS
+        calls = []
+        real = fr.framed_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("lowbin_fix"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(fr, "framed_mel_power", spy)
+
+        def boom(*a, **k):
+            raise AssertionError("specband below the floor")
+        monkeypatch.setattr(sb, "specband_mel_power", boom)
+
+        x = jnp.asarray(rng.standard_normal((2, 2500)).astype(np.float32))
+        kw = dict(n_mels=64, sample_rate=8000, hop_length=80,
+                  optimized=True, window_length=512)
+        # non-deep-fade hint -> framed with the fix FORCED on
+        ops.mel_spectrogram(x, 46.7, impl="pallas", lambd_hint=46.7, **kw)
+        assert calls == [True]
+        # deep-fade hint -> exact XLA floor (no kernel)
+        calls.clear()
+        got = ops.mel_spectrogram(x, 33.0, impl="pallas",
+                                  lambd_hint=33.0, **kw)
+        want = ops.mel_spectrogram(x, 33.0, impl="xla", **kw)
+        assert calls == []
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+        # hintless -> exact XLA floor too
+        got = ops.mel_spectrogram(x, 46.7, impl="pallas", **kw)
+        assert calls == []
+        assert float(jnp.max(jnp.abs(
+            got - ops.mel_spectrogram(x, 46.7, impl="xla", **kw)))) == 0.0
