@@ -99,26 +99,69 @@ class PrefetchIterator:
         import threading
         self._q = queue.Queue(maxsize=max(1, int(depth)))
         self._transform = transform
+        self._stop = threading.Event()
+        self._finished = False          # consumer saw the _Done sentinel
+
+        def put(item):
+            # bounded put that aborts when the consumer closed us —
+            # otherwise an abandoned iterator (break / exception in the
+            # training loop) would leave the worker blocked forever,
+            # pinning depth+1 device-resident batches
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in iterable:
-                    self._q.put(self._transform(item)
-                                if self._transform is not None else item)
+                    if self._stop.is_set():
+                        return
+                    out = (self._transform(item)
+                           if self._transform is not None else item)
+                    if not put(out):
+                        return
             except BaseException as e:          # noqa: BLE001 — repropagated
-                self._q.put(PrefetchIterator._Done(e))
+                put(PrefetchIterator._Done(e))
                 return
-            self._q.put(PrefetchIterator._Done())
+            put(PrefetchIterator._Done())
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self):
+        """Stop the worker and release queued batches.  Safe to call
+        multiple times; called automatically on exhaustion and by
+        __del__ (best effort) when iteration is abandoned early."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:                      # queue.Empty
+            pass
+        if self._thread.is_alive():
+            self._thread.join(timeout=1.0)
+
+    def __del__(self):                          # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._finished:
+            # latched: a second loop over an exhausted iterator must
+            # raise StopIteration again, not block on an empty queue
+            raise StopIteration
         item = self._q.get()
         if isinstance(item, PrefetchIterator._Done):
+            self._finished = True
             self._thread.join()
             if item.error is not None:
                 raise item.error

@@ -157,10 +157,16 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         # cancellation floor and is hardware-certified there (see the
         # constant's doc); deep fades and hintless calls keep the
         # exact XLA floor.
-        framed_small = (n_fft < _stft.PALLAS_AUTO_MIN_NFFT
+        framed_small = (impl == "pallas"      # AUTO dispatch only —
+                        # explicit impls keep their requested kernel
+                        and n_fft < _stft.PALLAS_AUTO_MIN_NFFT
                         and n_fft in _stft.FRAMED_AUTO_NFFTS
                         and lambd_hint is not None
-                        and not _stft.lowbin_fix_needed(lambd_hint, n_fft))
+                        # certified range: (win/12, win/6] — the
+                        # bucket's production lambdas; beyond it the
+                        # exact XLA floor keeps the contract
+                        and not _stft.lowbin_fix_needed(lambd_hint, n_fft)
+                        and abs(float(lambd_hint)) <= n_fft / 6.0)
         auto_ok = (impl != "pallas"
                    or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT or framed_small)
         use_framed = (impl not in ("pallas_fused",) and auto_ok

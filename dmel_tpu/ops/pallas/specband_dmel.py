@@ -471,39 +471,17 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
     # to the ~2^-27 class so those buckets can ride the kernel.
     lad_cols = kpad if lowbin_fix >= 2 else width
 
-    def dc_corr(a32, rows_n, chs, cls, shs, sls):
-        """Extra bf16 passes of the 3-way-split residual (lo2*bhi) and
-        the x4 cross term (lo*blo) against the first `lad_cols` basis
-        columns (level 1: band tile 0's X reads, bins -J..LANE-1+J;
-        level 2: all columns): lifts the spectra feeding the deep-fade
-        mel bands from the ~2^-18 absolute floor (input representation
-        + missing cross term, both the same magnitude class) to ~2^-27.
-        The correction rides the recurrence rotation exactly (f32
-        elementwise), so applying it at the base/delta GEMMs covers
-        every phase."""
-        ahi, alo = _split_hi_lo(a32)
-        alo2 = _lo2(a32, ahi, alo)
-        cr = (jnp.dot(alo2, chs[:, :lad_cols], preferred_element_type=f32)
-              + jnp.dot(alo, cls[:, :lad_cols], preferred_element_type=f32))
-        ci = (jnp.dot(alo2, shs[:, :lad_cols], preferred_element_type=f32)
-              + jnp.dot(alo, sls[:, :lad_cols], preferred_element_type=f32))
-        if lad_cols == kpad:
-            return cr, ci
-        z = jnp.zeros((rows_n, kpad - lad_cols), f32)
-        return (jnp.concatenate([cr, z], axis=1),
-                jnp.concatenate([ci, z], axis=1))
-
-    # ---- phase-0 base DFT GEMM, chunked over the contraction ----
-    # xgc_ref streams (gr, chunk) sample tiles and bchi/../bslo stream
-    # the matching (chunk, kpad) basis tiles (grid dim 2); each grid
-    # step accumulates its partial product into the persistent spectra
-    # scratch.  dc_corr is linear in the chunk, so the low-bin
-    # correction accumulates chunk-wise too.  n_chunks == 1 (n_fft <=
-    # 1024, whole basis VMEM-resident) keeps the certified round-2
-    # codegen: no predication, base value stays in registers.
     def dc_corr1(a32, hs, ls):
-        # single-plane 3-way-split correction (folded bases contract e
-        # against ce only / o against se only)
+        """Extra bf16 passes of the 3-way-split residual (lo2*bhi) and
+        the x4 cross term (lo*blo) against one basis plane's first
+        `lad_cols` columns (level 1: band tile 0's X reads, bins
+        -J..LANE-1+J; level 2: all columns): lifts the spectra feeding
+        the deep-fade mel bands from the ~2^-18 absolute floor (input
+        representation + missing cross term, both the same magnitude
+        class) to ~2^-27.  The correction rides the recurrence
+        rotation exactly (f32 elementwise), so applying it at the
+        base/delta GEMMs covers every phase.  The folded base calls
+        this per plane (e against ce, o against se)."""
         ahi, alo = _split_hi_lo(a32)
         alo2 = _lo2(a32, ahi, alo)
         c = (jnp.dot(alo2, hs[:, :lad_cols], preferred_element_type=f32)
@@ -513,6 +491,18 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
         return jnp.concatenate(
             [c, jnp.zeros((a32.shape[0], kpad - lad_cols), f32)], axis=1)
 
+    def dc_corr(a32, rows_n, chs, cls, shs, sls):
+        """Both planes of the correction (full bases: cos and sin)."""
+        return dc_corr1(a32, chs, cls), dc_corr1(a32, shs, sls)
+
+    # ---- phase-0 base DFT GEMM, chunked over the contraction ----
+    # xgc_ref streams (gr, chunk) sample tiles and bchi/../bslo stream
+    # the matching (chunk, kpad) basis tiles (grid dim 2); each grid
+    # step accumulates its partial product into the persistent spectra
+    # scratch.  dc_corr is linear in the chunk, so the low-bin
+    # correction accumulates chunk-wise too.  n_chunks == 1 (n_fft <=
+    # 1024, whole basis VMEM-resident) keeps the certified round-2
+    # codegen: no predication, base value stays in registers.
     if folded:
         # even/odd folded base: e @ ce and o @ se at K = N/2+1
         # (FOLDED_BASE_NFFTS; bchi/bclo hold the folded ce planes and

@@ -499,15 +499,18 @@ def pallas_compile_hint(lambd_value: float, n_fft: int,
     the whole non-deep-fade bucket range lambda in (win/12, win/6]
     (certified across it, results/certify_ladder_r4_512framed.txt).
     None keeps the exact XLA path."""
-    h = specband_compile_hint(lambd_value, n_fft, hop_length)
-    if h is not None:
-        return h
     lam = abs(float(lambd_value))
-    if (n_fft in FRAMED_AUTO_NFFTS
-            and not lowbin_fix_needed(lam, n_fft)
-            and lam <= n_fft / 6.0):
-        return 1.001 * n_fft / 12.0
-    return None
+    if (n_fft < PALLAS_AUTO_MIN_NFFT and n_fft in FRAMED_AUTO_NFFTS
+            and n_fft not in SPECBAND_HIPREC_NFFTS):
+        # framed buckets FIRST: the framed kernel has no J ladder, so
+        # ONE representative serves the whole certified range — going
+        # through specband_compile_hint here would fragment the bucket
+        # into J regions the kernel ignores (spurious recompiles, and
+        # packed sweeps straddling win/9.6 would lose the shared hint)
+        if not lowbin_fix_needed(lam, n_fft) and lam <= n_fft / 6.0:
+            return 1.001 * n_fft / 12.0
+        return None                      # deep fade/out of range: floor
+    return specband_compile_hint(lambd_value, n_fft, hop_length)
 
 
 def _window_taps(window: jnp.ndarray, n_fft: int, j_taps: int, *,

@@ -268,3 +268,24 @@ class TestPrefetchIterator:
         for a, b in zip(h0["records"], h2["records"]):
             assert a["loss"] == b["loss"]
             assert a["valid_loss"] == b["valid_loss"]
+
+    def test_abandoned_iteration_releases_worker(self):
+        """Breaking out early (the fit() divergence path) must not leave
+        the worker blocked forever holding queued batches."""
+        import threading
+        from dmel_tpu.data.loader import PrefetchIterator
+        before = threading.active_count()
+        it = PrefetchIterator(iter(range(1000)), depth=2)
+        assert next(it) == 0
+        it.close()
+        assert not it._thread.is_alive()
+        # close is idempotent and post-close next raises cleanly
+        it.close()
+        assert threading.active_count() <= before + 1
+
+    def test_exhausted_iterator_raises_again_not_blocks(self):
+        from dmel_tpu.data.loader import PrefetchIterator
+        it = PrefetchIterator(iter([1, 2]))
+        assert list(it) == [1, 2]
+        with pytest.raises(StopIteration):   # latched — must NOT hang
+            next(it)
