@@ -136,14 +136,23 @@ class PrefetchIterator:
         """Stop the worker and release queued batches.  Safe to call
         multiple times; called automatically on exhaustion and by
         __del__ (best effort) when iteration is abandoned early."""
+        import queue
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except Exception:                      # queue.Empty
-            pass
+
+        def drain():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+
+        drain()
         if self._thread.is_alive():
             self._thread.join(timeout=1.0)
+        # the worker checks _stop before q.put, so one put can land
+        # after the first drain; re-drain once the thread is dead so
+        # no (possibly device-resident) batch stays queued until GC
+        drain()
 
     def __del__(self):                          # pragma: no cover
         try:

@@ -33,7 +33,8 @@ def main(argv=None):
                         help="Re-run finished trials instead of skipping.")
     parser.add_argument("--pack", action="store_true",
                         help="Run all trials as one vmapped program "
-                             "(fixed epochs, no per-trial early stop).")
+                             "(per-trial early stop via active-mask "
+                             "freeze; see parallel/trials.py).")
     args = parser.parse_args(argv)
 
     if args.pack:

@@ -143,6 +143,22 @@ FOLDED_BASE_NFFTS: tuple = (2048, 4096)
 #: stays OFF (results/ab_multi_r4.txt).
 STACK_BAND_BWD_MULTI = False
 
+
+def _stacked_bwd_active(nt_g: int, k_sig: int) -> bool:
+    """Single source of truth for whether the backward kernel takes the
+    stacked-adjoint path (used by the kernel body AND the vmem-raise
+    gate below, so the two cannot drift — ADVICE r4)."""
+    return ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
+            and (k_sig == 1 or STACK_BAND_BWD_MULTI))
+
+
+def _stacked_bwd_vmem_raise(nt_g: int, k_sig: int, n_fft: int) -> bool:
+    """Scheduling-budget raise for the stacked adjoint.  The n_fft
+    bound is budget-only: explicit small-n_fft (<1024) pallas_specband
+    impls still stack, but their working set fits XLA's default 16 MB
+    scoped-vmem estimate, so no raise is needed there."""
+    return _stacked_bwd_active(nt_g, k_sig) and n_fft >= 1024
+
 #: Emit the mel output (and read the bwd cotangent) in FRAME order by
 #: permuting (g, gr) <-> (gr, g) in-kernel, so the XLA boundary is a
 #: pure reshape instead of a materialized (b, nblk*rows, MEL_PAD)
@@ -727,8 +743,7 @@ def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
     dt_acc = jnp.zeros((width, k_sig * LANE), f32)
     dims = (((0,), (0,)), ((), ()))        # contract over the ROWS axis
     rows_n = xres_ref.shape[1]
-    if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
-            and (k_sig == 1 or STACK_BAND_BWD_MULTI)):
+    if _stacked_bwd_active(nt_g, k_sig):
         # stacked adjoint (see STACK_BAND): the nt_g x {re,im} per-tile
         # recompute GEMMs share tbf and the dp GEMMs share fbt, so the
         # 3*nt_g*2 medium GEMMs collapse to three large ones.  dp and
@@ -1082,9 +1097,7 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
         # raise as the forward
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=36 * 1024 * 1024)
-            if ((STACK_BAND or STACK_BAND_BWD) and 1 < nt_g <= 8
-                and (k_sig == 1 or STACK_BAND_BWD_MULTI)
-                and n_fft >= 1024) else None),
+            if _stacked_bwd_vmem_raise(nt_g, k_sig, n_fft) else None),
         interpret=interpret,
     )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn, fbn)
     dtmat = dt_part.sum(axis=(0, 1))

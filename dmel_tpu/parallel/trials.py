@@ -303,6 +303,31 @@ def fit_trials(configs: Sequence[dict], trainset, validset, *,
                     "valid_acc": float(v_acc[i]),
                     "lambd_est": float(lambds[i]),
                 })
+        # inert-ize frozen diverged rows (ADVICE r4): a frozen trial
+        # that diverged keeps a non-finite lambda in the packed params,
+        # so every later pack epoch would still push NaN through
+        # gaussian_window for that row.  vmap isolates it today, but
+        # cross-trial safety must hold by construction — overwrite the
+        # frozen row's lambda with its last finite best estimate so no
+        # NaN ever enters the feature path again.  Updates for the row
+        # are masked (active=0) and its metrics are discarded, so the
+        # value itself is inert.
+        bad = [i for i in range(k)
+               if not active_np[i] and not np.isfinite(lambds[i])]
+        if bad:
+            repl = lambds.copy()
+            for i in bad:
+                est = histories[i]["best_lambd_est"]
+                repl[i] = est if np.isfinite(est) else 1.0
+                histories[i]["diverged"] = True
+            lam_leaf = params["spectrogram_layer"]["lambd"]
+            repl_dev = jnp.asarray(repl, dtype=lam_leaf.dtype).reshape(
+                (k,) + (1,) * (lam_leaf.ndim - 1))
+            params["spectrogram_layer"]["lambd"] = jnp.where(
+                jnp.isfinite(lam_leaf), lam_leaf,
+                jnp.broadcast_to(repl_dev, lam_leaf.shape))
+            lambds_host = repl
+
         if verbose:
             print(f"epoch {epoch}: valid_acc={v_acc}, lambd={lambds}, "
                   f"active={active_np}")
