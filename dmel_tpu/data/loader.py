@@ -46,6 +46,19 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the shuffle stream so the next ``__iter__``
+        produces the batch order of epoch ``epoch`` — a mid-trial
+        resume replays the EXACT shuffles the uninterrupted run would
+        have consumed (the rng is sequential across epochs, so skipping
+        ahead requires burning the intermediate permutations)."""
+        n = len(self.xs)
+        scratch = np.arange(n)
+        for _ in range(max(0, int(epoch) - self._epoch)):
+            if self.shuffle:
+                self._rng.shuffle(scratch)
+            self._epoch += 1
+
     def __iter__(self):
         n = len(self.xs)
         order = np.arange(n)

@@ -148,3 +148,91 @@ def make_gauss_pulse_dataset(sigma: float, n_points: int, noise_std: float,
                              ys=ys.astype(np.int32),
                              locs=locs.astype(np.float32),
                              sigma=sigma, n_points=n_points)
+
+
+def make_esc50_synth_dataset(sigma: float = 8000 * 0.035 / 6,
+                             n_points: int = 40000,
+                             noise_std: float = 0.05,
+                             n_samples: int = 2000,
+                             seed: int | None = 0) -> GaussPulseDataset:
+    """Learnable ESC-50-*shaped* synthetic task (framework extension —
+    NOT a reference parity target; VERDICT r4 next #5).
+
+    10 classes of Gauss-pulse composites at the esc50 geometry (5 s @
+    8 kHz, /root/reference/search_spaces.py:3-34): classes 0-8 are the
+    proven lambda-sensitive three-pattern construction of the
+    ``time_frequency`` task (single spread pulse / time pair / freq
+    pair, datasets.py:52-131) replicated at three carriers; class 9 is
+    a diagonal (time+freq) pair.  Pulse-pair separations sit at the
+    sigma_ref resolution limit, so classification accuracy depends on
+    the spectrogram's window length — a trainable lambda starting from
+    a bad init must move toward sigma_ref to resolve the patterns.
+
+    Pulses are synthesized inside a ±2048-sample window and
+    scatter-added into the (zero + noise) clip — the dense 40000-point
+    per-pulse synthesis of the small task would waste ~20x memory for
+    envelopes that are ~1e-40 outside the window.
+    """
+    rng = np.random.default_rng(seed)
+    n = n_samples
+    win = 4096                               # pulse-pattern support
+    half = win // 2
+    carriers = np.array([0.15, 0.25, 0.35])
+    sigma_f = 1.0 / (2 * np.pi * sigma)      # pulse frequency std
+
+    ys = rng.integers(0, 10, n)
+    pattern = np.where(ys == 9, 3, ys % 3)   # 0 single, 1 tpair, 2 fpair
+    carrier = carriers[np.where(ys == 9, rng.integers(0, 3, n), ys // 3)]
+    carrier = carrier + rng.uniform(-0.01, 0.01, n)   # carrier jitter
+
+    # separations at the resolution limit (cf. datasets.py:37-49)
+    t_off = rng.uniform(3 * sigma, 6 * sigma, n)
+    f_off = rng.uniform(3 * sigma_f, 6 * sigma_f, n)
+    spread_time = rng.integers(0, 2, n).astype(bool)
+    sigma_scale = np.where(spread_time, rng.uniform(1.5, 3.0, n),
+                           rng.uniform(1 / 3.0, 1 / 1.5, n))
+    phases = rng.uniform(0, 2 * np.pi, (2, n))
+
+    tc = np.full(n, float(half))             # pattern window center
+    patt = np.zeros((n, win), dtype=np.float64)
+    for p in range(4):
+        m = pattern == p
+        if not m.any():
+            continue
+        if p == 0:
+            patt[m] = gauss_pulse_np(tc[m], carrier[m],
+                                     sigma * sigma_scale[m],
+                                     phases[0, m], win)
+        elif p == 1:
+            patt[m] = (gauss_pulse_np(tc[m] - t_off[m], carrier[m], sigma,
+                                      phases[0, m], win)
+                       + gauss_pulse_np(tc[m] + t_off[m], carrier[m],
+                                        sigma, phases[1, m], win))
+        elif p == 2:
+            patt[m] = (gauss_pulse_np(tc[m], carrier[m] - f_off[m], sigma,
+                                      phases[0, m], win)
+                       + gauss_pulse_np(tc[m], carrier[m] + f_off[m],
+                                        sigma, phases[1, m], win))
+        else:                                # diagonal pair
+            patt[m] = (gauss_pulse_np(tc[m] - t_off[m],
+                                      carrier[m] - f_off[m], sigma,
+                                      phases[0, m], win)
+                       + gauss_pulse_np(tc[m] + t_off[m],
+                                        carrier[m] + f_off[m], sigma,
+                                        phases[1, m], win))
+
+    amplitude = rng.uniform(0.5, 1.0, n)
+    patt *= amplitude[:, None]
+
+    x = (noise_std * rng.uniform(0, 1, (n, n_points))).astype(np.float32)
+    start = rng.integers(0, n_points - win + 1, n)
+    idx = start[:, None] + np.arange(win)[None, :]
+    np.put_along_axis(
+        x, idx, np.take_along_axis(x, idx, axis=1) + patt.astype(np.float32),
+        axis=1)
+    x -= x.mean(axis=-1, keepdims=True)
+
+    locs = np.stack([start + half, carrier, t_off, f_off], 1)
+    return GaussPulseDataset(xs=x, ys=ys.astype(np.int32),
+                             locs=locs.astype(np.float32),
+                             sigma=sigma, n_points=n_points)

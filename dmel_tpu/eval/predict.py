@@ -60,14 +60,20 @@ def predictions_by_row(row: dict, testloader) -> tuple:
     params = restored["params"]
     batch_stats = restored.get("batch_stats")
 
+    # mean matches training's current_lambd (multi-sigma: vector lambd)
+    lam_ckpt = float(np.mean(np.asarray(
+        params["spectrogram_layer"]["lambd"])))
     wl = None
     if config.get("optimized", False):
         # SAME clamp as training's bucket_for: the checkpoint must be
         # evaluated at the window geometry it trained/validated at
-        wl = bucketed_window_length(
-            float(np.asarray(params["spectrogram_layer"]["lambd"])),
-            int(config["n_points"]))
-    model = get_model_by_config(config, window_length=wl)
+        wl = bucketed_window_length(lam_ckpt, int(config["n_points"]))
+    # SAME static hint derivation as fit(): impl="pallas" checkpoints
+    # evaluate on the certified kernel route they trained on
+    from dmel_tpu.models.registry import dispatch_hint_for
+    model = get_model_by_config(
+        config, window_length=wl,
+        lambd_hint=dispatch_hint_for(config, wl, lam_ckpt))
 
     @jax.jit
     def forward(params, batch_stats, xs):

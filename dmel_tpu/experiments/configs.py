@@ -166,8 +166,29 @@ def fsd(max_epochs: int):
     }
 
 
+def esc50_synth(max_epochs: int) -> Dict[str, Any]:
+    """Learnable esc50-SHAPED synthetic space (framework extension,
+    VERDICT r4 next #5): identical model/optimizer/geometry to the
+    esc50 space, driven by the 10-class Gauss-pulse composite task so
+    task-level learning + lambda recovery can be demonstrated on TPU
+    without dataset downloads (zero-egress sandbox)."""
+    space = esc50(max_epochs)
+    space.update({
+        "dataset_name": "esc50_synth",
+        "pretrained": False,
+        "sigma_ref": 8000 * 0.035 / 6,
+        "noise_std": 0.05,
+        "n_samples": 2000,
+        "data_seed": 0,
+    })
+    return space
+
+
 SEARCH_SPACES = {
     "fsd": fsd,
+    # substring dispatch (main.py:96-103): longer keys first so
+    # "esc50_synth" does not fall through to "esc50"
+    "esc50_synth": esc50_synth,
     "esc50": esc50,
     "audio_mnist": audio_mnist,
     "time_frequency": time_frequency,

@@ -49,9 +49,18 @@ def _write_progress_csv(path: str, records, config: dict) -> None:
 
 
 def run_trial(config: dict, data_dir: str, trial_dir: str,
-              seed: int = 0, verbose: int = 0):
-    """Train one trial (run_experiment parity, main.py:17-83)."""
+              seed: int = 0, verbose: int = 0, fresh: bool = False):
+    """Train one trial (run_experiment parity, main.py:17-83).
+
+    A trial killed mid-run leaves a live state snapshot under its
+    checkpoint dir; re-running the trial resumes at its last completed
+    epoch (fit()'s mid-trial resume).  ``fresh=True`` discards any such
+    snapshot first (the --no_resume semantics)."""
     os.makedirs(trial_dir, exist_ok=True)
+    if fresh:
+        live = os.path.join(trial_dir, "checkpoint_000000", "live_state")
+        if os.path.exists(live):
+            os.remove(live)
     with open(os.path.join(trial_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2, default=str)
 
@@ -191,7 +200,7 @@ def run_sweep(name: str, num_samples: int, max_epochs: int,
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
         run_trial(config, data_dir, os.path.join(sweep_dir, tname),
-                  seed=i, verbose=verbose)
+                  seed=i, verbose=verbose, fresh=not resume)
         manifest[tname] = "done"
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)

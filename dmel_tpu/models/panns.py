@@ -23,8 +23,13 @@ import jax.numpy as jnp
 from dmel_tpu.models.common import xavier_uniform, zeros
 
 
-def _bn(name=None, axis=-1):
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=axis, name=name)
+def _bn(name=None, axis=-1, dtype=None):
+    """torch-semantics BatchNorm.  ``dtype`` is the flax compute dtype:
+    None keeps f32; bfloat16 casts the normalized OUTPUT to bf16 while
+    flax still computes mean/var in f32 (normalization promotes
+    internally), so running statistics stay full-precision."""
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=axis, name=name,
+                        dtype=dtype)
 
 
 def time_mask(key, x, mask_param: int):
@@ -67,15 +72,24 @@ def _pool(x, pool_size: Tuple[int, int], pool_type: str):
 
 
 class ConvBlock5x5(nn.Module):
-    """conv5x5 (no bias) + BN + ReLU + pool (panns.py:68-102)."""
+    """conv5x5 (no bias) + BN + ReLU + pool (panns.py:68-102).
+
+    ``dtype=bfloat16`` runs the conv + the elementwise chain in bf16
+    (params stay f32, BN statistics stay f32 — flax upcasts for
+    mean/var): the conv MXU passes are bf16 either way under DEFAULT
+    precision, so this lever is about HALVING the activation HBM
+    traffic, which dominates the step at these shapes."""
 
     out_channels: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
         x = nn.Conv(self.out_channels, (5, 5), padding="SAME", use_bias=False,
-                    kernel_init=xavier_uniform(), name="conv1")(x)
-        x = _bn(name="bn1")(x, use_running_average=not train)
+                    kernel_init=xavier_uniform(), dtype=self.dtype,
+                    name="conv1")(x)
+        x = _bn(name="bn1", dtype=self.dtype)(
+            x, use_running_average=not train)
         x = nn.relu(x)
         return _pool(x, pool_size, pool_type)
 
@@ -84,15 +98,20 @@ class ConvBlock(nn.Module):
     """double conv3x3 + BN + ReLU + pool (panns.py:22-65)."""
 
     out_channels: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
-                    kernel_init=xavier_uniform(), name="conv1")(x)
-        x = nn.relu(_bn(name="bn1")(x, use_running_average=not train))
+                    kernel_init=xavier_uniform(), dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(_bn(name="bn1", dtype=self.dtype)(
+            x, use_running_average=not train))
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
-                    kernel_init=xavier_uniform(), name="conv2")(x)
-        x = nn.relu(_bn(name="bn2")(x, use_running_average=not train))
+                    kernel_init=xavier_uniform(), dtype=self.dtype,
+                    name="conv2")(x)
+        x = nn.relu(_bn(name="bn2", dtype=self.dtype)(
+            x, use_running_average=not train))
         return _pool(x, pool_size, pool_type)
 
 
@@ -135,6 +154,10 @@ class Cnn6(nn.Module):
     classes_num: int
     n_mels: int
     augment: bool = False
+    #: conv-stack compute dtype (None = f32).  bfloat16 halves the
+    #: activation HBM traffic through the conv stack; the head (global
+    #: pooling, fc, sigmoid) always runs f32, and BN stats stay f32.
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -149,15 +172,20 @@ class Cnn6(nn.Module):
             x = freq_mask(k2, x, 8)
 
         drop = lambda x, r: nn.Dropout(r)(x, deterministic=not train)  # noqa: E731
-        x = ConvBlock5x5(64, name="conv_block1")(x, train=train)
+        x = ConvBlock5x5(64, dtype=self.dtype, name="conv_block1")(
+            x, train=train)
         x = drop(x, 0.2)
-        x = ConvBlock5x5(128, name="conv_block2")(x, train=train)
+        x = ConvBlock5x5(128, dtype=self.dtype, name="conv_block2")(
+            x, train=train)
         x = drop(x, 0.2)
-        x = ConvBlock5x5(256, name="conv_block3")(x, train=train)
+        x = ConvBlock5x5(256, dtype=self.dtype, name="conv_block3")(
+            x, train=train)
         x = drop(x, 0.2)
-        x = ConvBlock5x5(512, name="conv_block4")(x, train=train)
+        x = ConvBlock5x5(512, dtype=self.dtype, name="conv_block4")(
+            x, train=train)
         x = drop(x, 0.2)
 
+        x = x.astype(jnp.float32)          # head always f32
         x = jnp.mean(x, axis=2)            # mean over mel -> (B, T', 512)
         x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)   # (B, 512)
         x = drop(x, 0.5)
@@ -178,6 +206,7 @@ class Cnn14(nn.Module):
 
     classes_num: int
     n_mels: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -185,9 +214,11 @@ class Cnn14(nn.Module):
         drop = lambda x, r: nn.Dropout(r)(x, deterministic=not train)  # noqa: E731
         for i, ch in enumerate([64, 128, 256, 512, 1024, 2048], start=1):
             pool = (1, 1) if i == 6 else (2, 2)
-            x = ConvBlock(ch, name=f"conv_block{i}")(x, pool_size=pool,
-                                                     train=train)
+            x = ConvBlock(ch, dtype=self.dtype,
+                          name=f"conv_block{i}")(x, pool_size=pool,
+                                                 train=train)
             x = drop(x, 0.2)
+        x = x.astype(jnp.float32)
         x = jnp.mean(x, axis=2)
         x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)
         x = drop(x, 0.5)

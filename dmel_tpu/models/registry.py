@@ -15,6 +15,7 @@ N_CLASSES = {
     "time_frequency": 3,
     "audio_mnist": 10,
     "esc50": 50,
+    "esc50_synth": 10,  # learnable esc50-shaped synthetic (extension)
     "fsd": 200,  # FSD config from BASELINE.json configs[3] (extension)
 }
 
@@ -86,3 +87,19 @@ def get_model_by_config(config: dict,
         return classifiers.MelPANNsNet(
             augment=config.get("augment", False), **mel_kwargs)
     raise ValueError(f"model name not found: {name}")
+
+
+def dispatch_hint_for(config: dict, window_length: Optional[int],
+                      lambd_value: float) -> Optional[float]:
+    """Canonical static ``lambd_hint`` for a model built from ``config``
+    at ``lambd_value`` — ONE source of truth for train AND eval
+    dispatch (VERDICT r4 next #2: eval/predict previously built
+    hintless models, silently falling off the certified specband route
+    that training used).  None keeps the framed/XLA path; the hint is
+    correctness-safe either way (route selection only, every route is
+    parity-certified)."""
+    if config.get("impl") != "pallas" or window_length is None:
+        return None
+    from dmel_tpu.ops.stft import pallas_compile_hint
+    return pallas_compile_hint(float(lambd_value), int(window_length),
+                               int(config["hop_length"]))

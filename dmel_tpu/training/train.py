@@ -21,6 +21,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Optional
 
@@ -190,12 +191,9 @@ def fit(config: dict, trainset, validset, *,
         """Canonical static lambd_hint for the specband kernel gate:
         one compile per (window bucket, J, lowbin) static-switch region
         (ops.stft.specband_compile_hint); None keeps the framed/XLA
-        path."""
-        if config.get("impl") != "pallas" or wl is None:
-            return None
-        from dmel_tpu.ops.stft import pallas_compile_hint
-        return pallas_compile_hint(lambd_value, wl,
-                                   int(config["hop_length"]))
+        path.  Shared with eval/predict via models.registry."""
+        from dmel_tpu.models.registry import dispatch_hint_for
+        return dispatch_hint_for(config, wl, lambd_value)
 
     # --- model/step-fn cache keyed by (window bucket, specband hint) --
     step_cache: dict = {}
@@ -229,6 +227,61 @@ def fit(config: dict, trainset, validset, *,
             batch_stats = jax.tree.map(jnp.asarray, imported["batch_stats"])
     optimizer = build_optimizer(config, params)
     opt_state = optimizer.init(params)
+
+    # --- mid-trial resume (VERDICT r4 next #6) -----------------------
+    # A live snapshot (params/opt/batch_stats/rng + loop bookkeeping)
+    # is written at every epoch boundary; a killed trial resumes at its
+    # last completed epoch with a BIT-IDENTICAL continuation (the data
+    # loader's shuffle stream is fast-forwarded, the jax rng restored).
+    # Ray-analog: Tuner.restore re-attaches partial trial state
+    # (/root/reference/predict_test.py:48-50).
+    live_path = (os.path.join(checkpoint_dir, "live_state")
+                 if checkpoint_dir is not None else None)
+    live_every = int(config.get("live_checkpoint_every", 1))
+    start_epoch = 0
+    best_valid_acc, best_valid_loss = 0.0, np.inf
+    best_lambd_est = current_lambd(params)
+    patience_count = 0
+    resumed_records: list = []
+    if live_path is not None and os.path.exists(live_path):
+        target = {"params": params, "opt_state": opt_state, "rng": rng,
+                  "meta": ""}
+        if batch_stats is not None:
+            target["batch_stats"] = batch_stats
+        restored = ckpt.load_checkpoint(live_path, target)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        if batch_stats is not None:
+            batch_stats = jax.tree.map(jnp.asarray,
+                                       restored["batch_stats"])
+        rng = jnp.asarray(restored["rng"])
+        meta = json.loads(restored["meta"])
+        start_epoch = int(meta["epoch"]) + 1
+        patience_count = int(meta["patience_count"])
+        best_valid_acc = float(meta["best_valid_acc"])
+        best_valid_loss = float(meta["best_valid_loss"])
+        best_lambd_est = float(meta["best_lambd_est"])
+        resumed_records = meta["records"]
+        trainloader.set_epoch(start_epoch)
+        if verbose >= 1:
+            print(f"resuming trial at epoch {start_epoch} "
+                  f"(live state: {live_path})")
+
+    def save_live(epoch):
+        if (live_path is None or live_every <= 0
+                or (epoch + 1) % live_every != 0
+                or jax.process_index() != 0):
+            return
+        meta = dict(epoch=epoch, patience_count=patience_count,
+                    best_valid_acc=best_valid_acc,
+                    best_valid_loss=float(best_valid_loss),
+                    best_lambd_est=best_lambd_est,
+                    records=history["records"])
+        snap = {"params": params, "opt_state": opt_state, "rng": rng,
+                "meta": json.dumps(meta)}
+        if batch_stats is not None:
+            snap["batch_stats"] = batch_stats
+        ckpt.save_checkpoint(live_path, snap)
 
     if mesh is not None:
         from dmel_tpu.parallel.mesh import place_global_batch, replicate
@@ -270,13 +323,12 @@ def fit(config: dict, trainset, validset, *,
         "init_lambd": current_lambd(params),
         "converged": False,
         "diverged": False,
-        "records": [],
+        # resumed runs carry the pre-kill epochs so the returned
+        # history is identical to an uninterrupted run's
+        "records": list(resumed_records),
     }
-    best_valid_acc, best_valid_loss = 0.0, np.inf
-    best_lambd_est = current_lambd(params)
-    patience_count = 0
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         lam_now = current_lambd(params)
         if not np.isfinite(lam_now):
             # lambda diverged (NaN/inf loss cascade — e.g. a bad
@@ -370,6 +422,8 @@ def fit(config: dict, trainset, validset, *,
             print(f"epoch {epoch}, valid loss = {valid_loss}, "
                   f"valid acc = {valid_acc}")
 
+        save_live(epoch)
+
         if patience_count >= patience:
             if verbose >= 1:
                 print("no more patience, break training loop ...")
@@ -380,18 +434,31 @@ def fit(config: dict, trainset, validset, *,
     history["best_valid_loss"] = best_valid_loss
     history["est_lambd"] = current_lambd(params)
 
+    # trial finished (converged / diverged / max_epochs): the live
+    # snapshot is only for killed-mid-trial resume — drop it so a
+    # re-run with resume disabled starts clean
+    if (live_path is not None and jax.process_index() == 0
+            and os.path.exists(live_path)):
+        os.remove(live_path)
+
     state = {"params": params, "opt_state": opt_state,
              "batch_stats": batch_stats}
     return state, history
 
 
 def predict(config: dict, state: dict, dataset, batch_size: int = 32):
-    """Argmax predictions over a dataset split (utils.py:263-286)."""
+    """Argmax predictions over a dataset split (utils.py:263-286).
+
+    Dispatch matches training: the checkpoint's lambda derives the same
+    static ``lambd_hint`` fit() used, so impl="pallas" models evaluate
+    on the certified specband/framed route they trained on."""
+    from dmel_tpu.models.registry import dispatch_hint_for
+    lam = current_lambd(state["params"])
     wl = None
     if config.get("optimized", False):
-        wl = bucketed_window_length(current_lambd(state["params"]),
-                                    int(config["n_points"]))
-    model = get_model_by_config(config, window_length=wl)
+        wl = bucketed_window_length(lam, int(config["n_points"]))
+    model = get_model_by_config(config, window_length=wl,
+                                lambd_hint=dispatch_hint_for(config, wl, lam))
 
     @jax.jit
     def forward(params, batch_stats, xs):

@@ -45,6 +45,68 @@ class TestSynthetic:
         assert abs(float(np.max(y)) - 1.0) < 1e-9
 
 
+class TestEsc50Synth:
+    def test_shapes_classes_registry(self):
+        from dmel_tpu.data.synthetic import make_esc50_synth_dataset
+        ds = make_esc50_synth_dataset(n_samples=300, seed=0)
+        assert ds.xs.shape == (300, 40000) and ds.xs.dtype == np.float32
+        assert set(np.unique(ds.ys)) <= set(range(10))
+        assert len(set(np.unique(ds.ys))) == 10
+        # mean-subtracted like the reference generator
+        assert np.abs(ds.xs.mean(axis=1)).max() < 1e-5
+        # registry round-trip builds splits without touching disk
+        cfg = dict(dataset_name="esc50_synth", n_points=40000,
+                   n_samples=300, noise_std=0.05, data_seed=0)
+        tr, va, te = data.get_dataset_by_config(cfg, "/nonexistent")
+        assert len(tr) + len(va) + len(te) == 300
+        from dmel_tpu.models.registry import n_classes_for
+        assert n_classes_for("esc50_synth") == 10
+
+    def test_deterministic_and_signal_present(self):
+        from dmel_tpu.data.synthetic import make_esc50_synth_dataset
+        a = make_esc50_synth_dataset(n_samples=50, seed=3)
+        b = make_esc50_synth_dataset(n_samples=50, seed=3)
+        np.testing.assert_array_equal(a.xs, b.xs)
+        # pattern window carries far more energy than the noise floor
+        for i in range(10):
+            c = int(a.locs[i, 0])
+            seg = a.xs[i, max(c - 2048, 0):c + 2048]
+            assert float(np.sqrt((seg ** 2).mean())) > 2 * 0.05 * 0.29
+
+    def test_search_space_dispatch_not_swallowed_by_esc50(self):
+        """Substring dispatch must route esc50_synth to its own space
+        (the esc50 key would otherwise match first)."""
+        from dmel_tpu import experiments
+        space = experiments.get_search_space("esc50_synth", 1)
+        assert space["dataset_name"] == "esc50_synth"
+        assert space["model_name"] == "panns_cnn6"
+
+    def test_classes_mel_separable(self):
+        """Crude learnability signal: time-averaged mel profiles at the
+        reference sigma separate the three carriers (classes 0-2 vs
+        3-5 occupy different mel bands)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dmel_tpu.models.layers import MelSpectrogramLayer
+        from dmel_tpu.ops.spectrogram import optimized_window_length
+        from dmel_tpu.data.synthetic import make_esc50_synth_dataset
+        ds = make_esc50_synth_dataset(n_samples=120, seed=4,
+                                      n_points=8000)
+        lam = 8000 * 0.035 / 6
+        layer = MelSpectrogramLayer(
+            init_lambd=lam, n_points=8000, hop_length=80, n_mels=64,
+            sample_rate=8000, optimized=True,
+            window_length=optimized_window_length(lam))
+        p = layer.init(jax.random.PRNGKey(0), jnp.asarray(ds.xs[:1]))
+        mel = np.asarray(layer.apply(p, jnp.asarray(ds.xs)))[:, 0]
+        prof = mel.mean(axis=-1)                 # (n, n_mels)
+        lo = prof[np.isin(ds.ys, [0, 1, 2])].mean(0)
+        hi = prof[np.isin(ds.ys, [6, 7, 8])].mean(0)
+        # carrier 0.15 peaks in a lower mel band than carrier 0.35
+        assert int(lo.argmax()) < int(hi.argmax())
+
+
 class TestSplits:
     def test_matches_torch_random_split(self):
         import torch

@@ -272,6 +272,42 @@ class TestPallasDefault:
                          space=pallas_space())
         assert calls, "specband kernel never dispatched by the runner"
 
+    def test_predict_paths_use_certified_dispatch(self, tmp_path,
+                                                  monkeypatch):
+        """VERDICT r4 next #2: BOTH predict paths (training.predict and
+        eval.predict_test -> predictions_by_row) derive the same static
+        lambd_hint as fit(), so impl='pallas' checkpoints evaluate on
+        the certified specband route they trained on instead of
+        silently falling to the framed/XLA path."""
+        from dmel_tpu import data, training
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        sweep = runner.run_sweep("pallas_predict", num_samples=1,
+                                 max_epochs=1, output_dir=str(tmp_path),
+                                 data_dir="/tmp", space=pallas_space())
+        calls = []
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            calls.append(k.get("j_taps"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        # eval-side sweep predictions (predictions_by_row)
+        from dmel_tpu.eval.predict import predict_test
+        predict_test(sweep, "/tmp", batch_size=32, verbose=0)
+        assert calls, "predict_test never dispatched the specband kernel"
+
+        # training.predict on a fresh fit state
+        cfg = pallas_space()
+        tr, va, te = data.get_dataset_by_config(cfg, "/tmp")
+        state, _ = training.fit(cfg, tr, va)
+        calls.clear()
+        labels, preds = training.predict(cfg, state, te)
+        assert calls, "training.predict never dispatched specband"
+        assert len(labels) == len(preds) == len(te)
+
     def test_packed_runner_engages_specband_hint(self, tmp_path,
                                                  monkeypatch):
         """run_sweep_packed (the --pack CLI path) with impl='pallas'

@@ -1,5 +1,7 @@
 """Training-loop tests (SURVEY.md §2 C14 parity + §4c integration)."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -172,6 +174,55 @@ class TestFit:
         assert "params" in restored
         labels, preds = training.predict(cfg, restored, te, batch_size=16)
         assert labels.shape == preds.shape == (40,)
+
+    def test_mid_trial_resume_identical_history(self, tmp_path):
+        """VERDICT r4 next #6: a trial killed mid-run resumes at its
+        last completed epoch and produces a history IDENTICAL to an
+        uninterrupted run (params/opt/rng restored bit-exact, loader
+        shuffle stream fast-forwarded)."""
+        cfg = tf_config(max_epochs=5, n_samples=120,
+                        optimizer_name="adam", lr_model=1e-3)
+        tr, va, _ = data.get_dataset_by_config(cfg, "/tmp")
+
+        # uninterrupted reference run
+        state_ref, hist_ref = training.fit(
+            cfg, tr, va, checkpoint_dir=str(tmp_path / "ref"))
+        assert len(hist_ref["records"]) == 5
+
+        # killed run: raise out of fit after epoch 1's report
+        class Kill(Exception):
+            pass
+
+        calls = []
+
+        def killer(record):
+            calls.append(record)
+            if record["epoch"] == 1:
+                raise Kill
+
+        tr2, va2, _ = data.get_dataset_by_config(cfg, "/tmp")
+        with pytest.raises(Kill):
+            training.fit(cfg, tr2, va2,
+                         checkpoint_dir=str(tmp_path / "kill"),
+                         report_fn=killer)
+        assert os.path.exists(tmp_path / "kill" / "live_state")
+
+        # resume: fresh datasets + fresh fit call, same checkpoint dir
+        tr3, va3, _ = data.get_dataset_by_config(cfg, "/tmp")
+        state_res, hist_res = training.fit(
+            cfg, tr3, va3, checkpoint_dir=str(tmp_path / "kill"))
+
+        assert len(hist_res["records"]) == 5
+        for a, b in zip(hist_ref["records"], hist_res["records"]):
+            assert a == b, f"records diverge at epoch {a['epoch']}"
+        # params bit-identical too
+        import jax
+        for pa, pb in zip(jax.tree.leaves(state_ref["params"]),
+                          jax.tree.leaves(state_res["params"])):
+            np.testing.assert_array_equal(np.asarray(pa),
+                                          np.asarray(pb))
+        # completed run cleans its live snapshot
+        assert not os.path.exists(tmp_path / "kill" / "live_state")
 
     def test_predict_accuracy_better_than_chance(self):
         cfg = tf_config(max_epochs=5, n_samples=400)
