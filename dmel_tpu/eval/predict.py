@@ -60,20 +60,32 @@ def predictions_by_row(row: dict, testloader) -> tuple:
     params = restored["params"]
     batch_stats = restored.get("batch_stats")
 
-    # mean matches training's current_lambd (multi-sigma: vector lambd)
-    lam_ckpt = float(np.mean(np.asarray(
-        params["spectrogram_layer"]["lambd"])))
-    wl = None
-    if config.get("optimized", False):
-        # SAME clamp as training's bucket_for: the checkpoint must be
-        # evaluated at the window geometry it trained/validated at
-        wl = bucketed_window_length(lam_ckpt, int(config["n_points"]))
-    # SAME static hint derivation as fit(): impl="pallas" checkpoints
-    # evaluate on the certified kernel route they trained on
-    from dmel_tpu.models.registry import dispatch_hint_for
-    model = get_model_by_config(
-        config, window_length=wl,
-        lambd_hint=dispatch_hint_for(config, wl, lam_ckpt))
+    meta_path = ckpt_path + ".meta.json"
+    if os.path.exists(meta_path):
+        # geometry sidecar written by fit() at checkpoint time: the
+        # EXACT bucket + static hint this checkpoint validated at.
+        # Deriving the bucket from the checkpoint lambda instead is
+        # wrong whenever lambda crossed a bucket boundary during its
+        # best epoch (round-5 find: 0.87 valid -> 0.34 test on
+        # esc50_synth when 6*lambda crossed 512 -> 1024).
+        import json as _json
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        wl = meta.get("window_length")
+        hint = meta.get("lambd_hint")
+    else:
+        # legacy checkpoints: derive both from the checkpoint lambda
+        # (mean matches training's current_lambd; multi-sigma vectors)
+        lam_ckpt = float(np.mean(np.asarray(
+            params["spectrogram_layer"]["lambd"])))
+        wl = None
+        if config.get("optimized", False):
+            # SAME clamp as training's bucket_for
+            wl = bucketed_window_length(lam_ckpt, int(config["n_points"]))
+        from dmel_tpu.models.registry import dispatch_hint_for
+        hint = dispatch_hint_for(config, wl, lam_ckpt)
+    model = get_model_by_config(config, window_length=wl,
+                                lambd_hint=hint)
 
     @jax.jit
     def forward(params, batch_stats, xs):

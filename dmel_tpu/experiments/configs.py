@@ -51,6 +51,10 @@ def esc50(max_epochs: int) -> Dict[str, Any]:
         # static lambd_hint, certified-parity XLA floor below; VERDICT
         # r3 next #2: the headline kernel is reachable from the CLI)
         "impl": "pallas",
+        # TPU-native dropout PRNG: measured 2.3 ms/step at the esc50
+        # geometry vs threefry (results/diag_cnn6_r5.txt); mask
+        # distribution unchanged
+        "rng_impl": "rbg",
         "normalize_window": False,
         "augment": False,
         "pretrained": False,
@@ -84,6 +88,10 @@ def audio_mnist(max_epochs: int) -> Dict[str, Any]:
         # static lambd_hint, certified-parity XLA floor below; VERDICT
         # r3 next #2: the headline kernel is reachable from the CLI)
         "impl": "pallas",
+        # TPU-native dropout PRNG: measured 2.3 ms/step at the esc50
+        # geometry vs threefry (results/diag_cnn6_r5.txt); mask
+        # distribution unchanged
+        "rng_impl": "rbg",
         "normalize_window": False,
         "augment": False,
         "pretrained": False,
@@ -147,6 +155,10 @@ def fsd(max_epochs: int):
         # static lambd_hint, certified-parity XLA floor below; VERDICT
         # r3 next #2: the headline kernel is reachable from the CLI)
         "impl": "pallas",
+        # TPU-native dropout PRNG: measured 2.3 ms/step at the esc50
+        # geometry vs threefry (results/diag_cnn6_r5.txt); mask
+        # distribution unchanged
+        "rng_impl": "rbg",
         "normalize_window": False,
         "augment": True,
         "pretrained": False,

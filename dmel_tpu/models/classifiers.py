@@ -143,9 +143,16 @@ class MelPANNsNet(_MelFrontEnd):
 
     Returns ``(clipwise_sigmoid_output, s)``; train with BCE + one-hot
     labels (main.py:57-63).
+
+    ``model_dtype="bfloat16"`` runs the CNN6 conv stack in bf16
+    (params, BN statistics, the DMEL front-end and the classifier head
+    stay f32) — a measured 1.27x step lever at the esc50 geometry
+    (results/diag_cnn6_r5.txt); training equivalence validated on the
+    esc50_synth task (results/esc50_synth/).
     """
 
     augment: bool = False
+    model_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -153,7 +160,10 @@ class MelPANNsNet(_MelFrontEnd):
         # (B, 1, M, T) -> (B, T, M, 1): the reference transposes to
         # (B, 1, T, M) NCHW (models.py:162); NHWC adds the channel move.
         h = jnp.transpose(s, (0, 3, 2, 1))
+        dtype = (jnp.bfloat16 if self.model_dtype == "bfloat16"
+                 else None)
         out = Cnn6(self.n_classes, self.n_mels, augment=self.augment,
+                   dtype=dtype,
                    name="spectrogram_model")(h, train=train)
         return out, s
 

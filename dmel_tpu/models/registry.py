@@ -85,7 +85,9 @@ def get_model_by_config(config: dict,
         return classifiers.MelConvNet(**mel_kwargs)
     if name == "panns_cnn6":
         return classifiers.MelPANNsNet(
-            augment=config.get("augment", False), **mel_kwargs)
+            augment=config.get("augment", False),
+            model_dtype=config.get("model_dtype", "float32"),
+            **mel_kwargs)
     raise ValueError(f"model name not found: {name}")
 
 

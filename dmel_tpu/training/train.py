@@ -174,7 +174,17 @@ def fit(config: dict, trainset, validset, *,
     optimized = bool(config.get("optimized", False))
     bucket_update = config.get("bucket_update", "epoch")
 
-    rng = jax.random.PRNGKey(seed)
+    # Dropout/augment PRNG implementation.  "rbg" is the TPU-native
+    # generator: a measured 2.3 ms/step lever at the esc50 config
+    # (threefry mask generation is 13% of the train step,
+    # results/diag_cnn6_r5.txt); statistically equivalent for dropout
+    # masks (no bit-parity target exists — the reference's masks come
+    # from torch's own generator).  Default stays threefry2x32 for
+    # reproducibility with earlier rounds; the production search
+    # spaces opt in.
+    rng_impl = str(config.get("rng_impl", "threefry2x32"))
+    rng = (jax.random.PRNGKey(seed) if rng_impl == "threefry2x32"
+           else jax.random.key(seed, impl=rng_impl))
     trainloader = BatchLoader(trainset, batch_size, shuffle=True, seed=seed)
     validloader = BatchLoader(validset, batch_size, shuffle=False)
 
@@ -235,6 +245,12 @@ def fit(config: dict, trainset, validset, *,
     # loader's shuffle stream is fast-forwarded, the jax rng restored).
     # Ray-analog: Tuner.restore re-attaches partial trial state
     # (/root/reference/predict_test.py:48-50).
+    def _rng_raw(k):
+        """Typed prng keys (rng_impl != threefry2x32) serialize via
+        their raw key data; legacy uint32 PRNGKeys pass through."""
+        return (jax.random.key_data(k)
+                if jnp.issubdtype(k.dtype, jax.dtypes.prng_key) else k)
+
     live_path = (os.path.join(checkpoint_dir, "live_state")
                  if checkpoint_dir is not None else None)
     live_every = int(config.get("live_checkpoint_every", 1))
@@ -243,9 +259,13 @@ def fit(config: dict, trainset, validset, *,
     best_lambd_est = current_lambd(params)
     patience_count = 0
     resumed_records: list = []
+    # last compiled geometry (exported in the returned state so direct
+    # training.predict(state) evaluates where the model last validated)
+    wl = init_wl
+    hint = None
     if live_path is not None and os.path.exists(live_path):
-        target = {"params": params, "opt_state": opt_state, "rng": rng,
-                  "meta": ""}
+        target = {"params": params, "opt_state": opt_state,
+                  "rng": _rng_raw(rng), "meta": ""}
         if batch_stats is not None:
             target["batch_stats"] = batch_stats
         restored = ckpt.load_checkpoint(live_path, target)
@@ -254,7 +274,9 @@ def fit(config: dict, trainset, validset, *,
         if batch_stats is not None:
             batch_stats = jax.tree.map(jnp.asarray,
                                        restored["batch_stats"])
-        rng = jnp.asarray(restored["rng"])
+        raw = jnp.asarray(restored["rng"])
+        rng = (jax.random.wrap_key_data(raw, impl=rng_impl)
+               if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else raw)
         meta = json.loads(restored["meta"])
         start_epoch = int(meta["epoch"]) + 1
         patience_count = int(meta["patience_count"])
@@ -277,8 +299,8 @@ def fit(config: dict, trainset, validset, *,
                     best_valid_loss=float(best_valid_loss),
                     best_lambd_est=best_lambd_est,
                     records=history["records"])
-        snap = {"params": params, "opt_state": opt_state, "rng": rng,
-                "meta": json.dumps(meta)}
+        snap = {"params": params, "opt_state": opt_state,
+                "rng": _rng_raw(rng), "meta": json.dumps(meta)}
         if batch_stats is not None:
             snap["batch_stats"] = batch_stats
         ckpt.save_checkpoint(live_path, snap)
@@ -393,10 +415,23 @@ def fit(config: dict, trainset, validset, *,
             # metrics are psum-reduced and replicated), but only rank 0
             # writes the checkpoint file
             if checkpoint_dir is not None and jax.process_index() == 0:
+                base = os.path.join(checkpoint_dir, "best_model")
                 ckpt.save_checkpoint(
-                    os.path.join(checkpoint_dir, "best_model"),
+                    base,
                     {"params": params, "opt_state": opt_state,
                      "batch_stats": batch_stats})
+                # geometry sidecar (round-5 find): this checkpoint was
+                # VALIDATED at the epoch-start bucket/hint — a lambda
+                # that crossed a bucket boundary during the epoch would
+                # otherwise be re-evaluated at test time on a geometry
+                # the model never saw (measured: 0.87 valid -> 0.34
+                # test on esc50_synth when 6*lambda crossed 512->1024)
+                meta = {"window_length": wl, "lambd_hint": hint,
+                        "epoch": epoch}
+                tmp = base + ".meta.json.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, base + ".meta.json")
             best_valid_acc = valid_acc
             best_valid_loss = valid_loss
             best_lambd_est = current_lambd(params)
@@ -442,23 +477,35 @@ def fit(config: dict, trainset, validset, *,
         os.remove(live_path)
 
     state = {"params": params, "opt_state": opt_state,
-             "batch_stats": batch_stats}
+             "batch_stats": batch_stats,
+             # geometry the model last compiled/validated at — predict
+             # must evaluate HERE, not at the bucket of the final
+             # lambda (which may have crossed a boundary mid-epoch)
+             "window_length": wl, "lambd_hint": hint}
     return state, history
 
 
 def predict(config: dict, state: dict, dataset, batch_size: int = 32):
     """Argmax predictions over a dataset split (utils.py:263-286).
 
-    Dispatch matches training: the checkpoint's lambda derives the same
-    static ``lambd_hint`` fit() used, so impl="pallas" models evaluate
-    on the certified specband/framed route they trained on."""
+    Dispatch matches training: the state's recorded geometry (window
+    bucket + static ``lambd_hint``) is reused verbatim when present, so
+    the model is evaluated exactly where it validated — a lambda that
+    crossed a bucket boundary during its final epoch would otherwise be
+    re-evaluated on a geometry it never saw (round-5 find: 0.87 valid
+    vs 0.34 test on esc50_synth).  States without the recorded keys
+    (e.g. hand-built in tests) fall back to deriving both from the
+    checkpoint lambda."""
     from dmel_tpu.models.registry import dispatch_hint_for
     lam = current_lambd(state["params"])
-    wl = None
-    if config.get("optimized", False):
-        wl = bucketed_window_length(lam, int(config["n_points"]))
-    model = get_model_by_config(config, window_length=wl,
-                                lambd_hint=dispatch_hint_for(config, wl, lam))
+    if "window_length" in state:
+        wl, hint = state["window_length"], state.get("lambd_hint")
+    else:
+        wl = None
+        if config.get("optimized", False):
+            wl = bucketed_window_length(lam, int(config["n_points"]))
+        hint = dispatch_hint_for(config, wl, lam)
+    model = get_model_by_config(config, window_length=wl, lambd_hint=hint)
 
     @jax.jit
     def forward(params, batch_stats, xs):

@@ -176,9 +176,13 @@ def main():
                     body, (p0, o0, st0, key), None, length=S)
                 return losses
 
+            impl = cfg.get("rng_impl", "threefry2x32")
+
             def inputs(rep):
-                return (params, opt_state, stats,
-                        jax.random.PRNGKey(100 + rep), ys, mask)
+                key = (jax.random.PRNGKey(100 + rep)
+                       if impl == "threefry2x32"
+                       else jax.random.key(100 + rep, impl=impl))
+                return (params, opt_state, stats, key, ys, mask)
             return run, inputs
 
         dt, _ = measure_loop(build_run, name)
@@ -346,6 +350,10 @@ def main():
             hinted(esc50, impl="pallas")),
         "esc50-full-xla": lambda: full_step_case(
             "esc50 full step (XLA auto front-end)", dict(esc50)),
+        "esc50-full-fast": lambda: full_step_case(
+            "esc50 full step (pallas + rbg + bf16 conv stack)",
+            hinted(esc50, impl="pallas", rng_impl="rbg",
+                   model_dtype="bfloat16")),
         "esc50-cnn6": lambda: cnn6_only_case(
             "esc50 CNN6-only step (fixed features)", esc50),
         "esc50-dmel": lambda: dmel_only_case(
