@@ -297,21 +297,21 @@ def main():
         # in-kernel-framing fused kernel (ops/pallas/framed_dmel.py);
         # the hint statically disables the low-bin fix at this
         # lambda/n_fft ratio, as the production dispatch would
-        m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
-                                hop_length=HOP, optimized=True,
-                                window_length=WIN, impl="pallas_framed",
-                                lambd_hint=LAMBD)
-        return ops.accurate_log(m + 1e-10)
+        return ops.log_mel_spectrogram(
+            x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
+            optimized=True, window_length=WIN, impl="pallas_framed",
+            lambd_hint=LAMBD)
 
     def specband_feat(l, x):
         # sliding-DFT + banded-window kernel (ops/pallas/specband_dmel)
         # via the production dispatch: impl="pallas" + a static
-        # lambd_hint inside the truncation window resolves to it
-        m = ops.mel_spectrogram(x, l, n_mels=N_MELS, sample_rate=SR,
-                                hop_length=HOP, optimized=True,
-                                window_length=WIN, impl="pallas",
-                                lambd_hint=LAMBD)
-        return ops.accurate_log(m + 1e-10)
+        # lambd_hint inside the truncation window resolves to it.
+        # log_mel_spectrogram so the round-5 fused in-kernel log
+        # epilogue is what gets benched AND parity-certified.
+        return ops.log_mel_spectrogram(
+            x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
+            optimized=True, window_length=WIN, impl="pallas",
+            lambd_hint=LAMBD)
 
     if on_tpu:  # interpret-mode pallas at bench scale would take hours
         candidates["pallas-specband"] = specband_feat

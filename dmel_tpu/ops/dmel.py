@@ -29,8 +29,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                     subtract_mean: bool = True, abs_lambd: bool = True,
                     method: str = "auto", impl: str = "xla",
                     precision=jax.lax.Precision.HIGHEST,
-                    x_precision=None, lambd_hint: float | None = None
-                    ) -> jnp.ndarray:
+                    x_precision=None, lambd_hint: float | None = None,
+                    log_output: bool = False) -> jnp.ndarray:
     """Batched differentiable mel power spectrogram.
 
     Args:
@@ -73,6 +73,17 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
         x = x - jnp.mean(x, axis=-1, keepdims=True)
     if abs_lambd:
         lambd = jnp.abs(lambd)
+
+    # log_output=True returns log(mel + LOG_EPS): the specband route
+    # fuses the (Newton-refined) log into the kernel epilogue; every
+    # other route applies ops.numerics.accurate_log at its return —
+    # one contract, one epsilon (use log_mel_spectrogram, the public
+    # wrapper)
+    def _log(m):
+        if not log_output:
+            return m
+        from dmel_tpu.ops.numerics import accurate_log
+        return accurate_log(m + LOG_EPS)
 
     if impl in ("pallas", "pallas_specband", "pallas_framed",
                 "pallas_fused"):
@@ -147,7 +158,8 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 j_taps=sb_taps, lowbin_fix=lb_fix,
-                interpret=not fused_dmel._on_tpu())
+                interpret=not fused_dmel._on_tpu(),
+                log_epilogue=log_output)   # fused in-kernel log
         # auto dispatch floors the fused kernels at the certified-parity
         # n_fft (stft.PALLAS_AUTO_MIN_NFFT — small n_fft fails the 1e-4
         # gate on quantization); explicit impls are honored as
@@ -185,11 +197,11 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                 # fix off vs 5.8e-5 on — certify_ladder_r4_512framed)
                 lb_fix = True
             w = gaussian_window(lambd, win_length, norm=normalize_window)
-            return framed_dmel.framed_mel_power(
+            return _log(framed_dmel.framed_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
                 lowbin_fix=lb_fix,
-                interpret=not fused_dmel._on_tpu())
+                interpret=not fused_dmel._on_tpu()))
         if (n_fft > fused_dmel.MAX_N_FFT or not auto_ok
                 # framed_small only certifies the FRAMED kernel at the
                 # small bucket — if its geometry guard rejected, fall
@@ -202,11 +214,11 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             # floor — the exact XLA path holds the 1e-4 contract there.
             impl = "xla"
         else:
-            return fused_dmel.dmel_power(
+            return _log(fused_dmel.dmel_power(
                 x, lambd, win_length=win_length, n_fft=n_fft,
                 hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
-                normalize_window=normalize_window)
+                normalize_window=normalize_window))
 
     s = spectrogram(x, lambd, optimized=optimized, hop_length=hop_length,
                     norm=normalize_window, window_length=window_length,
@@ -218,17 +230,19 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
     # (.., n_freqs, n_frames)^T @ (n_freqs, n_mels) -> (.., n_mels, n_frames)
     mel = jnp.swapaxes(
         jnp.matmul(jnp.swapaxes(s, -1, -2), fb, precision=precision), -1, -2)
-    return mel
+    return _log(mel)
 
 
 def log_mel_spectrogram(x: jnp.ndarray, lambd, **kwargs) -> jnp.ndarray:
     """``log(mel_spectrogram(x) + 1e-10)`` (reference models.py:73).
 
-    Uses the Newton-refined log: the TPU hardware log alone costs
-    ~1.1e-4 of the 1e-4 feature-parity budget (see ops/numerics.py).
+    Uses the Newton-refined log (the TPU hardware log alone costs
+    ~1.1e-4 of the 1e-4 feature-parity budget, see ops/numerics.py) —
+    fused into the kernel epilogue on the specband route, applied in
+    XLA everywhere else.  This is the production log-mel entry point:
+    bench.py and the hardware ladder certify THIS path.
     """
-    from dmel_tpu.ops.numerics import accurate_log
-    return accurate_log(mel_spectrogram(x, lambd, **kwargs) + LOG_EPS)
+    return mel_spectrogram(x, lambd, log_output=True, **kwargs)
 
 
 def default_band_map(n_mels: int, n_sigma: int):

@@ -70,6 +70,9 @@ from dmel_tpu.ops.stft import num_frames, SPECGEMM_J_TAPS
 
 LANE = 128
 MEL_PAD = 128
+#: epsilon of the fused log epilogue — MUST match ops.dmel.LOG_EPS
+#: (the reference's log(mel + 1e-10), models.py:73)
+LOG_EPS = 1e-10
 #: frames per kernel block.  512 doubles the phase-0 base-GEMM row
 #: fill vs 256 (gr = ROWS/g rows feed the MXU; +5% end-to-end,
 #: measured).  Round 4: rows=512 is the adopted block for K > 1 too —
@@ -476,7 +479,7 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                 fbn_ref, mel_ref, xres_ref, xr_scr, xi_scr, *, g, gr,
                 hop_length, n_fft, hop_ext, nt_g, nyq, kpad, j_taps,
                 k_sig, lowbin_fix, n_chunks, interpret, folded=False,
-                khp=0):
+                khp=0, log_ep=False):
     f32 = jnp.float32
     width = LANE + 2 * j_taps
     # lowbin_fix level 2 (small-n_fft full ladder): the correction
@@ -551,7 +554,7 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                   n_fft=n_fft, hop_ext=hop_ext, nt_g=nt_g, nyq=nyq,
                   kpad=kpad, j_taps=j_taps, k_sig=k_sig,
                   lowbin_fix=lowbin_fix, interpret=interpret,
-                  dc_corr=dc_corr)
+                  dc_corr=dc_corr, log_ep=log_ep)
         return
 
     kc = pl.program_id(2)
@@ -575,14 +578,15 @@ def _fwd_kernel(xgc_ref, xg_ref, bchi_ref, bclo_ref, bshi_ref, bslo_ref,
                   hop_length=hop_length, n_fft=n_fft, hop_ext=hop_ext,
                   nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
                   k_sig=k_sig, lowbin_fix=lowbin_fix,
-                  interpret=interpret, dc_corr=dc_corr)
+                  interpret=interpret, dc_corr=dc_corr, log_ep=log_ep)
 
 
 def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
               dslo_ref, rotr_ref, roti_ref, tmat_ref, fbhi_ref,
               fblo_ref, tn_ref, fbn_ref, mel_ref, xres_ref, xr_scr,
               xi_scr, *, g, gr, hop_length, n_fft, hop_ext, nt_g, nyq,
-              kpad, j_taps, k_sig, lowbin_fix, interpret, dc_corr):
+              kpad, j_taps, k_sig, lowbin_fix, interpret, dc_corr,
+              log_ep=False):
     """Everything after the (possibly chunk-accumulated) phase-0
     spectra: delta GEMMs + sliding-DFT recurrence, residual write,
     real-tap band conv, power, mel."""
@@ -721,6 +725,19 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
             sim = jnp.sum(xi_sl * tn, axis=1, keepdims=True)
             p = sre * sre + sim * sim                       # (ROWS, 1)
             mel_acc = mel_acc + p * fbn_ref[k, :][None, :]
+    if log_ep:
+        # fused log epilogue (round 5, VERDICT r4 next #4): emit
+        # log(mel + 1e-10) with the same Newton refinement as
+        # ops.numerics.accurate_log — this kills the XLA-side log
+        # read+write round trip on the forward and the dP
+        # materialization chain on the backward (there dP =
+        # dlog * exp(-logmel), computed in-kernel from the saved
+        # output).  mel + eps > 0 always (power + positive eps), so
+        # log is finite and accurate_log's isfinite guard is not
+        # needed in-kernel.
+        v = mel_acc + LOG_EPS
+        y = jnp.log(v)
+        mel_acc = y + v * jnp.exp(-y) - 1.0
     if _frame_io(n_fft, g):
         # kernel rows are phase-major (c*gr + r); emit frame order
         # (r*g + c) so the XLA side reshapes instead of transposing
@@ -730,12 +747,25 @@ def _fwd_rest(xr_c, xi_c, xg_ref, dchi_ref, dclo_ref, dshi_ref,
 
 
 def _bwd_kernel(xres_ref, dmel_ref, tbf_ref, fbt_ref, tn_ref, fbn_ref,
-                dt_ref, *, nt_g, nyq, kpad, j_taps, k_sig, g=1, gr=1,
-                frame_io=False):
+                *rest, nt_g, nyq, kpad, j_taps, k_sig, g=1, gr=1,
+                frame_io=False, log_ep=False):
+    # with log_ep an extra logmel input ref precedes the dt output ref
+    if log_ep:
+        logmel_ref, dt_ref = rest
+    else:
+        (dt_ref,) = rest
     f32 = jnp.float32
     bf = jnp.bfloat16
     width = LANE + 2 * j_taps
     dmel = dmel_ref[0]
+    if log_ep:
+        # convert the log-mel cotangent to the mel-power cotangent
+        # in-VMEM: dP = dlog / (P + eps) = dlog * exp(-logmel) (the
+        # kernel's forward emitted logmel = log(P + eps)).  Same
+        # emitted layout for both operands, so convert before the
+        # frame-order permute.  Padded lanes: logmel = log(eps) there
+        # (~ -23), exp(+23) is finite and dlog is zero -> dP zero.
+        dmel = dmel * jnp.exp(-logmel_ref[0])
     if frame_io:
         # cotangent arrives in frame order; xres rows are phase-major
         dmel = (dmel.reshape(gr, g, MEL_PAD).swapaxes(0, 1)
@@ -853,11 +883,11 @@ def band_matrix(rho: jnp.ndarray, j_taps: int):
     return jnp.where(valid, rho[jnp.clip(idx, 0, 2 * j_taps)], 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _specband_mel(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
-                  lowbin_fix):
+                  lowbin_fix, log_ep=False):
     mel, _ = _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key,
-                           interpret, lowbin_fix)
+                           interpret, lowbin_fix, log_ep)
     return mel
 
 
@@ -915,7 +945,7 @@ def _mel_key_parts(mel_key):
 
 
 def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
-                  lowbin_fix=False):
+                  lowbin_fix=False, log_ep=False):
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
     rows, chain, chunk = _geom(n_fft, hop_length, k_sig, lowbin_fix)
@@ -954,7 +984,7 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         _fwd_kernel, g=g, gr=gr, hop_length=hop_length, n_fft=n_fft,
         hop_ext=hop_ext, nt_g=nt_g, nyq=nyq, kpad=kpad, j_taps=j_taps,
         k_sig=k_sig, lowbin_fix=lowbin_fix, n_chunks=n_chunks,
-        interpret=interpret, folded=folded, khp=khp)
+        interpret=interpret, folded=folded, khp=khp, log_ep=log_ep)
     const = lambda bi, ki, kc: (0, 0)
     if folded:
         base_op = _eo_layout(xg, n_fft, khp)
@@ -1043,12 +1073,16 @@ def _specband_fwd(x, tmat, n_fft, hop_length, j_taps, mel_key, interpret,
         mel_fr = (mel_pm.reshape(b, nblk, g, gr, MEL_PAD)
                   .transpose(0, 1, 3, 2, 4)
                   .reshape(b, nblk * rows, MEL_PAD))[:, :nfr, :n_mels]
-    return mel_fr, (xres, tmat, x, nfr, nblk)
+    # with the fused log epilogue the backward needs the LOG output to
+    # reconstruct dP = dlog * exp(-logmel); saving the kernel's raw
+    # padded output costs nothing (it is the array mel_fr slices from)
+    return mel_fr, (xres, tmat, x, nfr, nblk,
+                    mel_pm if log_ep else None)
 
 
 def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
-                  lowbin_fix, residuals, dmel_fr):
-    xres, tmat, x_primal, nfr, nblk = residuals
+                  lowbin_fix, log_ep, residuals, dmel_fr):
+    xres, tmat, x_primal, nfr, nblk, logmel_pm = residuals
     n_mels, sample_rate, f_min, f_max, band_map = _mel_key_parts(mel_key)
     k_sig = tmat.shape[-1] // LANE
     rows, chain, chunk = _geom(n_fft, hop_length, k_sig, lowbin_fix)
@@ -1072,19 +1106,28 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
 
     kern = functools.partial(_bwd_kernel, nt_g=nt_g, nyq=nyq, kpad=kpad,
                              j_taps=j_taps, k_sig=k_sig, g=g, gr=gr,
-                             frame_io=_frame_io(n_fft, g))
+                             frame_io=_frame_io(n_fft, g), log_ep=log_ep)
     const = lambda bi, ki: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, rows, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, rows, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
+        pl.BlockSpec((width, k_sig * LANE), const),
+        pl.BlockSpec((MEL_PAD, nt_g * k_sig * LANE), const),
+        pl.BlockSpec((k_sig, LANE), const),
+        pl.BlockSpec((k_sig, MEL_PAD), const),
+    ]
+    operands = [xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn,
+                fbn]
+    if log_ep:
+        # the saved kernel output (padded, emitted layout) rides in
+        # with the same tiling as the cotangent
+        in_specs.append(pl.BlockSpec((1, rows, MEL_PAD),
+                                     lambda bi, ki: (bi, ki, 0)))
+        operands.append(logmel_pm)
     dt_part = pl.pallas_call(
         kern,
         grid=(b, nblk),
-        in_specs=[
-            pl.BlockSpec((1, rows, 2 * kpad), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, rows, MEL_PAD), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((width, k_sig * LANE), const),
-            pl.BlockSpec((MEL_PAD, nt_g * k_sig * LANE), const),
-            pl.BlockSpec((k_sig, LANE), const),
-            pl.BlockSpec((k_sig, MEL_PAD), const),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, width, k_sig * LANE),
                                lambda bi, ki: (bi, ki, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nblk, width, k_sig * LANE),
@@ -1099,7 +1142,7 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
             vmem_limit_bytes=36 * 1024 * 1024)
             if _stacked_bwd_vmem_raise(nt_g, k_sig, n_fft) else None),
         interpret=interpret,
-    )(xres, dmel_pm, tmat.astype(jnp.bfloat16), fbt, tapsn, fbn)
+    )(*operands)
     dtmat = dt_part.sum(axis=(0, 1))
 
     # The x cotangent (dead-code eliminated unless requested): mel is
@@ -1109,7 +1152,21 @@ def _specband_bwd(n_fft, hop_length, j_taps, mel_key, interpret,
         return _specband_xla_ref(xv, tmat, n_fft, hop_length, j_taps,
                                  mel_key)
     _, pull = jax.vjp(xla_specband, x_primal)
-    dx = pull(dmel_fr)[0]
+    dmel_for_x = dmel_fr
+    if log_ep:
+        # the XLA rebuild produces mel POWER — convert the log-mel
+        # cotangent first (slice the saved padded logmel back to the
+        # frame layout the cotangent arrived in)
+        if _frame_io(n_fft, g):
+            logmel_fr = logmel_pm[:, :nfr, :n_mels]
+        else:
+            logmel_fr = (logmel_pm
+                         .reshape(b, nblk, g, gr, MEL_PAD)
+                         .transpose(0, 1, 3, 2, 4)
+                         .reshape(b, nblk * rows, MEL_PAD)
+                         )[:, :nfr, :n_mels]
+        dmel_for_x = dmel_fr * jnp.exp(-logmel_fr)
+    dx = pull(dmel_for_x)[0]
     return dx, dtmat
 
 
@@ -1162,8 +1219,15 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
                        f_max: float | None = None,
                        j_taps: int = SPECGEMM_J_TAPS,
                        lowbin_fix: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       log_epilogue: bool = False):
     """Fused specband mel power spectrogram: ``(B, n_mels, n_frames)``.
+
+    ``log_epilogue=True`` returns ``log(mel + 1e-10)`` computed INSIDE
+    the kernel (Newton-refined, matching ops.numerics.accurate_log) —
+    the log-mel production path without the XLA-side log round trip
+    (VERDICT r4 next #4; fwd emits logmel, bwd reconstructs the power
+    cotangent in-VMEM from the saved output).
 
     ``window`` must be symmetric about ``n_fft/2`` (the Gaussian
     window is); the lambda gradient flows through
@@ -1191,7 +1255,7 @@ def specband_mel_power(x, window, *, n_fft: int, hop_length: int,
     tmat = band_matrix(rho, j_taps)
     key = (n_mels, sample_rate, float(f_min), float(f_max))
     mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
-                        interpret, lowbin_fix)
+                        interpret, lowbin_fix, log_epilogue)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])
 
@@ -1231,6 +1295,6 @@ def specband_mel_power_multi(x, windows, band_map, *, n_fft: int,
     key = (n_mels, sample_rate, float(f_min), float(f_max),
            tuple(int(v) for v in np.asarray(band_map)))
     mel = _specband_mel(x2, tmat, n_fft, hop_length, j_taps, key,
-                        interpret, lowbin_fix)
+                        interpret, lowbin_fix, False)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])

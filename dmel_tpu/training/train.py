@@ -450,6 +450,13 @@ def fit(config: dict, trainset, validset, *,
             "energy": train_energy,
             "best_lambd_est": best_lambd_est,
         }
+        lam_leaf = np.asarray(params["spectrogram_layer"]["lambd"]) \
+            if "spectrogram_layer" in params else None
+        if lam_leaf is not None and lam_leaf.size > 1:
+            # multi-sigma: per-band-group trajectory (BASELINE
+            # configs[4] evidence; scalar lambd_est stays the mean)
+            record["lambd_est_bands"] = [float(v)
+                                         for v in lam_leaf.ravel()]
         history["records"].append(record)
         if report_fn is not None:
             report_fn(record)

@@ -93,10 +93,13 @@ def main():
     print(f"backend: {backend}", file=sys.stderr, flush=True)
 
     # optional win filter: `python scripts/certify_ladder.py 4096`
-    # re-certifies only the given windows (after a geometry change)
-    only_wins = {int(a) for a in sys.argv[1:]} or None
-    cases = [(lam, win) for lam, win in CASES
-             if only_wins is None or win in only_wins]
+    # re-certifies only the given windows (after a geometry change);
+    # the token `multi` runs only the multi-sigma rungs
+    multi_only = "multi" in sys.argv[1:]
+    only_wins = {int(a) for a in sys.argv[1:] if a != "multi"} or None
+    cases = ([] if multi_only else
+             [(lam, win) for lam, win in CASES
+              if only_wins is None or win in only_wins])
 
     rng = np.random.default_rng(7)
     x_np = rng.standard_normal((B, T)).astype(np.float32)
@@ -161,11 +164,12 @@ def main():
             fgate, ggate = 1e-4, 1e-3
 
         def feat(l, x, _lam=lam, _win=win):
-            m = ops.mel_spectrogram(
+            # the production log-mel entry point: specband rungs
+            # exercise the round-5 fused in-kernel log epilogue
+            return ops.log_mel_spectrogram(
                 x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
                 optimized=True, window_length=_win, impl="pallas",
                 lambd_hint=_lam)
-            return ops.accurate_log(m + 1e-10)
 
         ref_feat, ref_grad = torch_oracle(x_np, lam, win)
         for attempt in (1, 2, 3):
@@ -225,7 +229,12 @@ def main():
 
     for win, lams in [(1024, [100.0, 115.0, 128.0]),
                       (2048, [180.0, 204.8, 240.0]),
-                      (4096, [360.0, 409.6, 480.0])]:
+                      (4096, [360.0, 409.6, 480.0]),
+                      # K=8 flagship-scale rung (VERDICT r4 next #7,
+                      # BASELINE configs[4]: per-mel-band trainable
+                      # windows at 8 band groups)
+                      (1024, [96.0, 100.0, 104.0, 110.0,
+                              115.0, 120.0, 124.0, 128.0])]:
         if only_wins is not None and win not in only_wins:
             continue
         band_map = dmel_mod.default_band_map(N_MELS, len(lams))
@@ -254,12 +263,12 @@ def main():
         gerr = float(np.max(np.abs(g - ref_grad)
                             / np.maximum(np.abs(ref_grad), 1e-30)))
         ok = ferr <= 1e-4 and gerr <= 1e-2
-        print(f"multi-sigma K=3 win={win:5d} route=specband "
+        print(f"multi-sigma K={len(lams)} win={win:5d} route=specband "
               f"logmel_err={ferr:.2e} (gate 1e-04) "
               f"dlambda_rel={gerr:.2e} (gate 1e-02) "
               f"{'PASS' if ok else 'FAIL'}", flush=True)
         if not ok:
-            failures.append(("K3", win))
+            failures.append((f"K{len(lams)}", win))
 
     if failures:
         print(f"FAILED cases: {failures}")

@@ -318,6 +318,65 @@ class TestSpecbandKernel:
                                     - jnp.log(ref + 1e-10))))
         assert err < 1e-4, (hop, n_fft, err)
 
+    @pytest.mark.parametrize("lowbin", [False, True])
+    def test_log_epilogue_matches_xla_log(self, rng, lowbin):
+        """Round-5 fused in-kernel log (VERDICT r4 next #4): forward
+        bitwise vs accurate_log(power + eps) in interpret mode, lambda
+        and x grads within float tolerance (bwd reconstructs the power
+        cotangent as dlog * exp(-logmel))."""
+        from dmel_tpu.ops.numerics import accurate_log
+        from dmel_tpu.ops.pallas import specband_dmel
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+        lam = jnp.float32(24.0)
+
+        def f_pow(l, xx):
+            w = ops.gaussian_window(l, 256)
+            m = specband_dmel.specband_mel_power(
+                x=xx, window=w, n_fft=256, hop_length=16, n_mels=32,
+                sample_rate=8000, lowbin_fix=lowbin, interpret=True)
+            return accurate_log(m + 1e-10)
+
+        def f_log(l, xx):
+            w = ops.gaussian_window(l, 256)
+            return specband_dmel.specband_mel_power(
+                x=xx, window=w, n_fft=256, hop_length=16, n_mels=32,
+                sample_rate=8000, lowbin_fix=lowbin, interpret=True,
+                log_epilogue=True)
+
+        a = jax.jit(f_pow)(lam, x)
+        b = jax.jit(f_log)(lam, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.jit(jax.grad(lambda l, xx: f_pow(l, xx).sum()))(lam, x)
+        gb = jax.jit(jax.grad(lambda l, xx: f_log(l, xx).sum()))(lam, x)
+        assert abs(float(ga - gb)) / abs(float(ga)) < 1e-5
+        gxa = jax.jit(jax.grad(
+            lambda l, xx: f_pow(l, xx).sum(), argnums=1))(lam, x)
+        gxb = jax.jit(jax.grad(
+            lambda l, xx: f_log(l, xx).sum(), argnums=1))(lam, x)
+        denom = float(jnp.max(jnp.abs(gxa)))
+        assert float(jnp.max(jnp.abs(gxa - gxb))) / denom < 1e-5
+
+    def test_log_mel_spectrogram_routes_fused(self, rng, monkeypatch):
+        """ops.log_mel_spectrogram reaches the kernel with
+        log_epilogue=True on the specband route (the benched path)."""
+        from dmel_tpu.ops import stft as stft_mod
+        from dmel_tpu.ops.pallas import specband_dmel as sb
+        monkeypatch.setattr(stft_mod, "PALLAS_AUTO_MIN_NFFT", 64)
+        seen = {}
+        real = sb.specband_mel_power
+
+        def spy(*a, **k):
+            seen["log_epilogue"] = k.get("log_epilogue")
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "specband_mel_power", spy)
+        x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
+        ops.log_mel_spectrogram(
+            x, 24.0, n_mels=32, sample_rate=8000, hop_length=16,
+            optimized=True, window_length=256, impl="pallas",
+            lambd_hint=24.0)
+        assert seen.get("log_epilogue") is True
+
     def test_grads(self, rng):
         from dmel_tpu.ops.pallas import specband_dmel
         x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
