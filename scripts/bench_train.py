@@ -228,8 +228,7 @@ def main():
             (loss, st2), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(p)
             updates, o2 = opt.update(grads, o, p)
-            import optax as _ox
-            return _ox.apply_updates(p, updates), o2, st2, loss
+            return optax.apply_updates(p, updates), o2, st2, loss
 
         def build_run(S):
             @jax.jit
