@@ -179,8 +179,18 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
                         # exact XLA floor keeps the contract
                         and not _stft.lowbin_fix_needed(lambd_hint, n_fft)
                         and abs(float(lambd_hint)) <= n_fft / 6.0)
+        # deep-fade small-bucket lambdas (lambda <= win/12) ride the
+        # round-5 full-f32 framed variant where certified: 5-14e-6 at
+        # every 512 deep-fade rung, +17% over the parity-compliant XLA
+        # floor (results/probe_framed_hiprec_r5.txt; stft constant doc)
+        framed_hiprec = (impl == "pallas"
+                         and n_fft < _stft.PALLAS_AUTO_MIN_NFFT
+                         and n_fft in _stft.FRAMED_HIPREC_NFFTS
+                         and lambd_hint is not None
+                         and _stft.lowbin_fix_needed(lambd_hint, n_fft))
         auto_ok = (impl != "pallas"
-                   or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT or framed_small)
+                   or n_fft >= _stft.PALLAS_AUTO_MIN_NFFT
+                   or framed_small or framed_hiprec)
         use_framed = (impl not in ("pallas_fused",) and auto_ok
                       and win_length == n_fft
                       and framed_dmel.supported(n_fft, hop_length, n_mels))
@@ -200,13 +210,13 @@ def mel_spectrogram(x: jnp.ndarray, lambd, *, n_mels: int, sample_rate: int,
             return _log(framed_dmel.framed_mel_power(
                 x, w, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
                 sample_rate=sample_rate, f_min=f_min, f_max=f_max,
-                lowbin_fix=lb_fix,
+                lowbin_fix=lb_fix, hiprec=framed_hiprec,
                 interpret=not fused_dmel._on_tpu()))
         if (n_fft > fused_dmel.MAX_N_FFT or not auto_ok
-                # framed_small only certifies the FRAMED kernel at the
-                # small bucket — if its geometry guard rejected, fall
-                # to the exact XLA floor, never the fused kernel
-                or (framed_small
+                # framed_small/hiprec only certify the FRAMED kernel at
+                # the small bucket — if its geometry guard rejected,
+                # fall to the exact XLA floor, never the fused kernel
+                or ((framed_small or framed_hiprec)
                     and n_fft < _stft.PALLAS_AUTO_MIN_NFFT)):
             # Too large: DFT basis (2 x n_fft x n_fft/2 floats) would
             # blow VMEM budgets — the XLA FFT path handles long windows.

@@ -138,7 +138,8 @@ def _alt_row(n_fft):
 def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
                 fbhi_ref, fblo_ref, mel_ref, reim_ref, fwhi_ref,
                 fwlo_ref, *scr, g, gr, hop_length, n_fft, n_f,
-                nyq_split, f_main, n_bins, lowbin_fix, interpret):
+                nyq_split, f_main, n_bins, lowbin_fix, interpret,
+                hiprec=False):
     tiles = _build_frames(xg_ref[0], g, gr, hop_length, n_fft, interpret)
     alt = _alt_row(n_fft)
     f32 = jnp.float32
@@ -147,6 +148,16 @@ def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
         fw = fr * w_ref[0, :]
         if nyq_split:
             nyq_parts.append(jnp.sum(fw * alt, axis=1, keepdims=True))
+        if hiprec:
+            # full-f32 route (round 5, VERDICT r4 next #3): no operand
+            # splits at all — the windowed frames stay f32 and the DFT
+            # GEMMs below run at Mosaic's native f32 HIGHEST (the
+            # hardware's own 6-pass decomposition, ~2^-27 class).  The
+            # explicit bf16 ladders (x3/x4/x5) could not close the
+            # small-n_fft deep-fade gap (round-2/round-4 findings);
+            # this formulation removes their absolute floor entirely.
+            scr[-1][c * gr:(c + 1) * gr, :] = fw
+            continue
         hi, lo = _split_hi_lo(fw)
         fwhi_ref[c * gr:(c + 1) * gr, :] = hi
         fwlo_ref[c * gr:(c + 1) * gr, :] = lo
@@ -176,9 +187,18 @@ def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
                     + jnp.dot(flo, bhi, preferred_element_type=f32)
                     + jnp.dot(fhi, blo, preferred_element_type=f32))
 
-        re = dot3(chi_ref, clo_ref)
-        im = dot3(shi_ref, slo_ref)
-        if lowbin_fix:
+        if hiprec:
+            fw_all = scr[-1][:]
+            re = jnp.dot(fw_all, chi_ref[:, col],
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=f32)
+            im = jnp.dot(fw_all, shi_ref[:, col],
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=f32)
+        else:
+            re = dot3(chi_ref, clo_ref)
+            im = dot3(shi_ref, slo_ref)
+        if lowbin_fix and not hiprec:
             # all tiles, not just tile 0: framed is the fallback for
             # lambdas OUTSIDE the specband window, where lambda/n_fft
             # can be deep enough (< 1/30) that the window spectrum's
@@ -198,7 +218,7 @@ def _fwd_kernel(xg_ref, w_ref, chi_ref, clo_ref, shi_ref, slo_ref, fb_ref,
         reim_ref[0, :, pl.ds(f * 2 * LANE, 2 * LANE)] = jnp.concatenate(
             [re, im], axis=1).astype(jnp.bfloat16)
         row = pl.ds(f * LANE, LANE)
-        if lowbin_fix:
+        if lowbin_fix and not hiprec:
             # explicit bf16x4 mel GEMM (p hi/lo x fb hi/lo, all four
             # terms): Mosaic HIGHEST's own pass schedule leaves
             # absolute-class cross terms that the deep fades amplify
@@ -291,7 +311,8 @@ def _xg_layout(x, n_fft, hop_length):
     return xg, nfr, nblk
 
 
-def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
+def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix,
+         hiprec=False):
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
      f_main) = _plan(n_fft, hop_length)
     b, t = x.shape
@@ -302,8 +323,18 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
     # the lo plane (round-3 find on specband's K>1 filterbank —
     # specband_dmel._np_split_hi_lo)
     from dmel_tpu.ops.pallas.specband_dmel import _np_split_hi_lo
-    chi, clo = _np_split_hi_lo(c_np)
-    shi, slo = _np_split_hi_lo(s_np)
+    if hiprec:
+        # full-f32 bases (no splits); the clo/slo operand slots carry
+        # inert bf16 copies (the kernel never reads them on this route
+        # — keeping the operand arity fixed is simpler than a second
+        # signature, and the waste is <1 MB at the covered n_fft)
+        chi = jnp.asarray(c_np)
+        shi = jnp.asarray(s_np)
+        clo = jnp.asarray(c_np).astype(jnp.bfloat16)
+        slo = jnp.asarray(s_np).astype(jnp.bfloat16)
+    else:
+        chi, clo = _np_split_hi_lo(c_np)
+        shi, slo = _np_split_hi_lo(s_np)
     fbhi, fblo = _np_split_hi_lo(fb_pad)
     fb_pad = jnp.asarray(fb_pad)
     w_pad = window[None, :]
@@ -312,7 +343,7 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
                              hop_length=hop_length, n_fft=n_fft, n_f=n_f,
                              nyq_split=nyq_split, f_main=f_main,
                              n_bins=n_bins, lowbin_fix=lowbin_fix,
-                             interpret=interpret)
+                             interpret=interpret, hiprec=hiprec)
     mel_pm, reim = pl.pallas_call(
         kern,
         grid=(b, nblk),
@@ -343,7 +374,9 @@ def _fwd(x, window, n_fft, hop_length, fb_pad, interpret, lowbin_fix):
             pltpu.VMEM((ROWS, n_fft), jnp.bfloat16),
             pltpu.VMEM((ROWS, n_fft), jnp.bfloat16),
         ] + ([pltpu.VMEM((ROWS, n_fft), jnp.bfloat16)]
-             if lowbin_fix else []),
+             if lowbin_fix and not hiprec else [])
+          + ([pltpu.VMEM((ROWS, n_fft), jnp.float32)]
+             if hiprec else []),
         interpret=interpret,
     )(xg, w_pad, chi, clo, shi, slo, fb_pad, fbhi, fblo)
 
@@ -398,11 +431,11 @@ def _bwd(window, n_fft, hop_length, fb_pad, interpret, residuals, dmel_fr):
     return dwindow
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _framed_mel(x, window, n_fft, hop_length, n_mels_key, interpret,
-                lowbin_fix):
+                lowbin_fix, hiprec=False):
     mel, _ = _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key,
-                             interpret, lowbin_fix)
+                             interpret, lowbin_fix, hiprec)
     return mel
 
 
@@ -420,20 +453,20 @@ def _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max):
 
 
 def _framed_mel_fwd(x, window, n_fft, hop_length, n_mels_key, interpret,
-                    lowbin_fix=False):
+                    lowbin_fix=False, hiprec=False):
     n_mels, sample_rate, f_min, f_max = n_mels_key
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
      f_main) = _plan(n_fft, hop_length)
     fb_pad = _fb_pad(n_fft, f_pad, n_mels, sample_rate, f_min, f_max)
     mel_fr, res = _fwd(x, window, n_fft, hop_length, fb_pad, interpret,
-                       lowbin_fix)
+                       lowbin_fix, hiprec)
     # x rides along for the (lazily-built) dx adjoint: |STFT|^2 is
     # quadratic in x, so its VJP needs the primal point
     return mel_fr[..., :n_mels], (res, window, x)
 
 
 def _framed_mel_bwd(n_fft, hop_length, n_mels_key, interpret, lowbin_fix,
-                    residuals, dmel):
+                    hiprec, residuals, dmel):
     (res, window, x_primal) = residuals
     n_mels, sample_rate, f_min, f_max = n_mels_key
     (g, gr, hop_ext, l_row, n_bins, f_pad, n_f, nyq_split,
@@ -463,7 +496,8 @@ def framed_mel_power(x, window, *, n_fft: int, hop_length: int,
                      n_mels: int, sample_rate: int, f_min: float = 0.0,
                      f_max: float | None = None,
                      lowbin_fix: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     hiprec: bool = False):
     """Fused in-kernel-framed mel power spectrogram.
 
     Returns ``(B, n_mels, n_frames)`` (same contract as
@@ -486,7 +520,9 @@ def framed_mel_power(x, window, *, n_fft: int, hop_length: int,
     b_shape = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     key = (n_mels, sample_rate, float(f_min), float(f_max))
+    if hiprec:
+        lowbin_fix = False     # no splits to correct on the f32 route
     mel = _framed_mel(x2, window, n_fft, hop_length, key, interpret,
-                      lowbin_fix)
+                      lowbin_fix, hiprec)
     mel = jnp.swapaxes(mel, -1, -2)
     return mel.reshape(b_shape + mel.shape[-2:])

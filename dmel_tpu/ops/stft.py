@@ -411,11 +411,27 @@ SPECBAND_HIPREC_NFFTS: tuple = ()
 #: kernel for NON-deep-fade hints: the direct formulation has no
 #: banded-conv cancellation floor, and measured 5.7-7.0e-5 at every
 #: 512-bucket lambda >= the lowbin threshold (win/12 = 42.7) on
-#: hardware at 331k audio-s/s (+30% over the matmul_ext_mp floor) —
-#: certified in results/certify_ladder_r4_512framed.txt (2026-08-20).
-#: Deep-fade hints (lambda < win/12 — measured 1.17e-4 at lambda=33)
-#: and hintless calls stay on the exact XLA floor.
+#: hardware at 353k audio-s/s — certified in
+#: results/certify_ladder_r4_512framed.txt.  ROUND-5 METHODOLOGY NOTE
+#: (results/bench_buckets_r5.txt + probe_512_routes_r5.txt): a faster
+#: matmul_ext_mp timing (378k) briefly suggested flipping this back to
+#: the XLA floor — but that probe ran the HIGH-precision forward,
+#: which FAILS the 1e-4 parity gate at 512 (4.5e-4; 128: 1.8e-3).
+#: The parity-compliant floor (HIGHEST fwd) runs 269k; framed keeps
+#: the bucket.  Any future re-route must compare against a
+#: GATE-PASSING floor in the same session.
 FRAMED_AUTO_NFFTS: tuple = (512,)
+
+#: Small-n_fft buckets whose DEEP-FADE lambdas (lambda <= win/12) ride
+#: the round-5 full-f32 framed variant (`hiprec`: no operand splits,
+#: Mosaic-native f32 HIGHEST GEMMs).  Hardware
+#: (results/probe_framed_hiprec_r5.txt): every 512 deep-fade rung
+#: 5-14e-6 / dlambda ~1.5e-4, at 316k audio-s/s vs the parity-
+#: compliant XLA floor's 269k (+17%).  256 is NOT included: hiprec
+#: measured 1.25e-4 at lambda=12 and 7.3e-4 at 21.3 there (non-
+#: monotonic — the same Mosaic small-geometry numerics class as the
+#: round-4 specband hiprec-512 finding), so that bucket stays floored.
+FRAMED_HIPREC_NFFTS: tuple = (512,)
 
 
 def lowbin_fix_needed(lambd_value: float, n_fft: int) -> bool:
@@ -509,7 +525,11 @@ def pallas_compile_hint(lambd_value: float, n_fft: int,
         # packed sweeps straddling win/9.6 would lose the shared hint)
         if not lowbin_fix_needed(lam, n_fft) and lam <= n_fft / 6.0:
             return 1.001 * n_fft / 12.0
-        return None                      # deep fade/out of range: floor
+        if n_fft in FRAMED_HIPREC_NFFTS and lowbin_fix_needed(lam, n_fft):
+            # deep-fade region: the full-f32 framed variant (one static
+            # region for the whole range — hiprec has no J ladder)
+            return 0.999 * n_fft / 12.0
+        return None                      # out of range: floor
     return specband_compile_hint(lambd_value, n_fft, hop_length)
 
 

@@ -49,7 +49,10 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
+    only = {int(a) for a in sys.argv[1:]} or None
     for n_fft in BUCKETS:
+        if only is not None and n_fft not in only:
+            continue
         lam = n_fft / 10.0
         iters = 200 if n_fft <= 1024 else 50
         from dmel_tpu.ops import stft as stft_mod

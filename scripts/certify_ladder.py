@@ -131,6 +131,12 @@ def main():
             # serves non-deep-fade hints at this bucket
             route = "framed(auto-small)"
             fgate, ggate = 1e-4, 1e-3
+        elif (win < stft_mod.PALLAS_AUTO_MIN_NFFT
+              and win in stft_mod.FRAMED_HIPREC_NFFTS and fix
+              and framed_dmel.supported(win, HOP, N_MELS)):
+            # round-5 deep-fade reclaim: the full-f32 framed variant
+            route = "framed(hiprec-deep)"
+            fgate, ggate = 1e-4, 1e-3
         elif win < stft_mod.PALLAS_AUTO_MIN_NFFT:
             # below the certified-parity floor the auto dispatch takes
             # the exact XLA path (round-2 find: the kernels' bf16-split
