@@ -828,8 +828,9 @@ class TestFramedAutoSmall:
         """Round-5 full-f32 framed variant (VERDICT r4 next #3): no
         operand splits, Mosaic-native f32 HIGHEST GEMMs — closes the
         split-quantization floor at deep fades (hardware: every 512
-        deep-fade lambda at 5-14e-6, results/probe_framed_hiprec_r5
-        .txt; kept explicit-only — the XLA floor outruns it)."""
+        deep-fade lambda at 5-14e-6 and +17% over the gate-passing
+        floor, results/probe_framed_hiprec_r5.txt; ADOPTED for
+        lambda <= win/12 at 512, no-go at 256)."""
         from dmel_tpu.ops.pallas import framed_dmel as fr
         x = jnp.asarray(rng.standard_normal((2, 1500)).astype(np.float32))
         w = ops.gaussian_window(lam, n_fft)
