@@ -71,6 +71,41 @@ def _pool(x, pool_size: Tuple[int, int], pool_type: str):
     raise ValueError(f"Incorrect pool_type: {pool_type!r}")
 
 
+class Patches5x5Conv(nn.Conv):
+    """``nn.Conv`` drop-in that computes a 5x5 single-input-channel
+    convolution as an im2col GEMM: ``(B,H,W,25) @ (25,Cout)``.
+
+    Why: the MXU contracts in 128-deep tiles, so a C_in=1 5x5 conv
+    (contraction depth 25, and XLA's chosen convolution algorithm pads
+    the channel axis) executes orders of magnitude more MACs than the
+    logical count — measured as the dominant share of CNN6's block1
+    wall (blocks<=1 = 7.9 ms at 1% MFU, results/diag_cnn6_r5.txt).
+    The patches GEMM has the same math (SAME zero padding, identical
+    tap order up to f32 reduction order) with one (M=B*H*W, K=25,
+    N=Cout) matmul.  Parameter name/shape/init are inherited from
+    nn.Conv ("kernel", (5,5,1,Cout)) so checkpoints and the PANNs
+    pretrained import are unaffected; inputs with C_in != 1 fall back
+    to the stock conv path.
+    """
+
+    @nn.compact
+    def __call__(self, inputs):
+        if (inputs.shape[-1] != 1 or self.kernel_size != (5, 5)
+                or self.use_bias or self.padding != "SAME"):
+            return super().__call__(inputs)
+        kernel = self.param("kernel", self.kernel_init,
+                            (5, 5, 1, self.features), self.param_dtype)
+        dtype = self.dtype or inputs.dtype
+        x = inputs[..., 0].astype(dtype)
+        b, h, w = x.shape
+        xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2)))
+        patches = jnp.stack(
+            [xp[:, i:i + h, j:j + w] for i in range(5) for j in range(5)],
+            axis=-1)                                   # (B, H, W, 25)
+        k = kernel.reshape(25, self.features).astype(dtype)
+        return jnp.dot(patches, k)
+
+
 class ConvBlock5x5(nn.Module):
     """conv5x5 (no bias) + BN + ReLU + pool (panns.py:68-102).
 
@@ -85,9 +120,10 @@ class ConvBlock5x5(nn.Module):
 
     @nn.compact
     def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
-        x = nn.Conv(self.out_channels, (5, 5), padding="SAME", use_bias=False,
-                    kernel_init=xavier_uniform(), dtype=self.dtype,
-                    name="conv1")(x)
+        x = Patches5x5Conv(self.out_channels, (5, 5), padding="SAME",
+                           use_bias=False,
+                           kernel_init=xavier_uniform(), dtype=self.dtype,
+                           name="conv1")(x)
         x = _bn(name="bn1", dtype=self.dtype)(
             x, use_running_average=not train)
         x = nn.relu(x)
