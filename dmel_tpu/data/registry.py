@@ -54,7 +54,8 @@ def get_dataset_by_config(config: dict, data_dir: str,
             n_points=config.get("n_points", 40000),
             noise_std=float(config.get("noise_std", 0.05)),
             n_samples=config.get("n_samples", 2000),
-            seed=config.get("data_seed", 0))
+            seed=config.get("data_seed", 0),
+            hard=bool(config.get("synth_hard", False)))
     elif name == "time_frequency":
         if config.get("center_offset"):
             f_off, t_off = 0.1, config["n_points"] / 5

@@ -154,7 +154,8 @@ def make_esc50_synth_dataset(sigma: float = 8000 * 0.035 / 6,
                              n_points: int = 40000,
                              noise_std: float = 0.05,
                              n_samples: int = 2000,
-                             seed: int | None = 0) -> GaussPulseDataset:
+                             seed: int | None = 0,
+                             hard: bool = False) -> GaussPulseDataset:
     """Learnable ESC-50-*shaped* synthetic task (framework extension —
     NOT a reference parity target; VERDICT r4 next #5).
 
@@ -185,12 +186,19 @@ def make_esc50_synth_dataset(sigma: float = 8000 * 0.035 / 6,
     carrier = carriers[np.where(ys == 9, rng.integers(0, 3, n), ys // 3)]
     carrier = carrier + rng.uniform(-0.01, 0.01, n)   # carrier jitter
 
-    # separations at the resolution limit (cf. datasets.py:37-49)
-    t_off = rng.uniform(3 * sigma, 6 * sigma, n)
-    f_off = rng.uniform(3 * sigma_f, 6 * sigma_f, n)
+    # separations at the resolution limit (cf. datasets.py:37-49).
+    # hard mode pushes the pairs INSIDE the wrong-window blur radius
+    # (2-3.5 sigma instead of 3-6) and widens the single-pulse spread
+    # so pattern classes overlap unless the window length is right —
+    # the 25-epoch CNN could compensate for any resolution at the
+    # default separations (round-5 sweep finding).
+    lo, hi = (2.0, 3.5) if hard else (3.0, 6.0)
+    t_off = rng.uniform(lo * sigma, hi * sigma, n)
+    f_off = rng.uniform(lo * sigma_f, hi * sigma_f, n)
     spread_time = rng.integers(0, 2, n).astype(bool)
-    sigma_scale = np.where(spread_time, rng.uniform(1.5, 3.0, n),
-                           rng.uniform(1 / 3.0, 1 / 1.5, n))
+    scale_hi = 4.0 if hard else 3.0
+    sigma_scale = np.where(spread_time, rng.uniform(1.5, scale_hi, n),
+                           rng.uniform(1 / scale_hi, 1 / 1.5, n))
     phases = rng.uniform(0, 2 * np.pi, (2, n))
 
     tc = np.full(n, float(half))             # pattern window center

@@ -68,22 +68,22 @@ def main():
         return ops.log_mel_spectrogram(
             x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
             optimized=True, window_length=win, impl="pallas",
-            lambd_hint=float(LAM))
+            lambd_hint=LAM[0])
 
     def xla_log(l, x, win):
         m = ops.mel_spectrogram(
             x, l, n_mels=N_MELS, sample_rate=SR, hop_length=HOP,
             optimized=True, window_length=win, impl="pallas",
-            lambd_hint=float(LAM))
+            lambd_hint=LAM[0])
         return ops.accurate_log(m + 1e-10)
 
     cases = [(1024, 128.0), (2048, 204.8), (4096, 400.0)]
     if len(sys.argv) > 1:                      # optional win filter
         keep = {int(a) for a in sys.argv[1:]}
         cases = [c for c in cases if c[0] in keep]
+    LAM = [None]             # static hint for the closures above
     for win, lam in cases:
-        global LAM
-        LAM = lam
+        LAM[0] = lam
         med_a, lo_a, hi_a = measure(xla_log, lam, win)
         med_b, lo_b, hi_b = measure(fused, lam, win)
         audio = B * T / SR

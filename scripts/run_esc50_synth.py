@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--probe", action="store_true")
+    parser.add_argument("--hard", action="store_true",
+                        help="resolution-critical task variant "
+                             "(separations inside the wrong-window "
+                             "blur radius; f32 arms only)")
     parser.add_argument("--max_epochs", type=int, default=25)
     parser.add_argument("--output_dir", default="results")
     args = parser.parse_args()
@@ -34,11 +38,16 @@ def main():
     space = configs.esc50_synth(args.max_epochs)
     space["model_dtype"] = grid_search(["float32", "bfloat16"])
     name = "esc50_synth"
+    if args.hard:
+        space["synth_hard"] = True
+        space["noise_std"] = 0.3
+        space["model_dtype"] = "float32"
+        name = "esc50_synth_hard"
     if args.probe:
         space["max_epochs"] = 8
         space["trainable"] = True
         space["init_lambd"] = 8000 * 0.035 / 6
-        name = "esc50_synth_probe"
+        name += "_probe"
 
     sweep = runner.run_sweep(name, num_samples=1,
                              max_epochs=space["max_epochs"],

@@ -252,6 +252,18 @@ class TestPallasDefault:
         assert "impl" not in experiments.get_search_space(
             "time_frequency", 1)
 
+    def test_production_spaces_carry_round5_levers(self):
+        """The measured step levers ship in the production spaces:
+        rng_impl=rbg everywhere, model_dtype=bfloat16 for the PANNs
+        spaces (task-equivalence validated on the esc50_synth sweep;
+        results/diag_cnn6_r5.txt, bench_train_r5c.txt)."""
+        for name in ("esc50", "esc50_synth", "fsd", "audio_mnist"):
+            assert experiments.get_search_space(name, 1)[
+                "rng_impl"] == "rbg"
+        for name in ("esc50", "esc50_synth", "fsd"):
+            assert experiments.get_search_space(name, 1)[
+                "model_dtype"] == "bfloat16"
+
     def test_runner_engages_specband_hint(self, tmp_path, monkeypatch):
         """A runner sweep with impl='pallas' reaches the specband
         kernel through fit()'s bucket+hint step cache (the headline
