@@ -72,37 +72,46 @@ def _pool(x, pool_size: Tuple[int, int], pool_type: str):
 
 
 class Patches5x5Conv(nn.Conv):
-    """``nn.Conv`` drop-in that computes a 5x5 single-input-channel
-    convolution as an im2col GEMM: ``(B,H,W,25) @ (25,Cout)``.
+    """``nn.Conv`` drop-in that computes a single-input-channel odd-
+    kernel SAME convolution as an im2col GEMM:
+    ``(B,H,W,kh*kw) @ (kh*kw,Cout)``.
 
-    Why: the MXU contracts in 128-deep tiles, so a C_in=1 5x5 conv
-    (contraction depth 25, and XLA's chosen convolution algorithm pads
-    the channel axis) executes orders of magnitude more MACs than the
-    logical count — measured as the dominant share of CNN6's block1
-    wall (blocks<=1 = 7.9 ms at 1% MFU, results/diag_cnn6_r5.txt).
-    The patches GEMM has the same math (SAME zero padding, identical
-    tap order up to f32 reduction order) with one (M=B*H*W, K=25,
-    N=Cout) matmul.  Parameter name/shape/init are inherited from
-    nn.Conv ("kernel", (5,5,1,Cout)) so checkpoints and the PANNs
-    pretrained import are unaffected; inputs with C_in != 1 fall back
-    to the stock conv path.
+    Why: the MXU contracts in 128-deep tiles, so a C_in=1 conv
+    (contraction depth kh*kw, and XLA's chosen convolution algorithm
+    pads the channel axis) executes orders of magnitude more MACs than
+    the logical count — measured as the dominant share of CNN6's
+    block1 wall (blocks<=1 = 7.9 ms at 1% MFU,
+    results/diag_cnn6_r5.txt; the rewrite took the full esc50
+    production step 12.12 -> 7.90 ms, bench_train_r5c.txt).  The
+    patches GEMM has the same math (SAME zero padding, identical tap
+    order up to f32 reduction order).  Parameter name/shape/init are
+    inherited from nn.Conv ("kernel", (kh,kw,1,Cout)) so checkpoints
+    and the PANNs pretrained import are unaffected; inputs with
+    C_in != 1 (or non-odd kernels / non-SAME padding) fall back to
+    the stock conv path.  (Named for its original CNN6 block1 use;
+    Cnn14's 3x3 first block rides the same path.)
     """
 
     @nn.compact
     def __call__(self, inputs):
-        if (inputs.shape[-1] != 1 or self.kernel_size != (5, 5)
-                or self.use_bias or self.padding != "SAME"):
+        kh, kw = (self.kernel_size if isinstance(self.kernel_size, tuple)
+                  else (self.kernel_size, self.kernel_size))
+        if (inputs.shape[-1] != 1 or self.use_bias
+                or self.padding != "SAME"
+                or kh % 2 != 1 or kw % 2 != 1):
             return super().__call__(inputs)
         kernel = self.param("kernel", self.kernel_init,
-                            (5, 5, 1, self.features), self.param_dtype)
+                            (kh, kw, 1, self.features), self.param_dtype)
         dtype = self.dtype or inputs.dtype
         x = inputs[..., 0].astype(dtype)
         b, h, w = x.shape
-        xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2)))
+        ph, pw = kh // 2, kw // 2
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw)))
         patches = jnp.stack(
-            [xp[:, i:i + h, j:j + w] for i in range(5) for j in range(5)],
-            axis=-1)                                   # (B, H, W, 25)
-        k = kernel.reshape(25, self.features).astype(dtype)
+            [xp[:, i:i + h, j:j + w]
+             for i in range(kh) for j in range(kw)],
+            axis=-1)                               # (B, H, W, kh*kw)
+        k = kernel.reshape(kh * kw, self.features).astype(dtype)
         return jnp.dot(patches, k)
 
 
@@ -138,9 +147,10 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, pool_size=(2, 2), pool_type="avg", train=False):
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
-                    kernel_init=xavier_uniform(), dtype=self.dtype,
-                    name="conv1")(x)
+        x = Patches5x5Conv(self.out_channels, (3, 3), padding="SAME",
+                           use_bias=False,
+                           kernel_init=xavier_uniform(), dtype=self.dtype,
+                           name="conv1")(x)
         x = nn.relu(_bn(name="bn1", dtype=self.dtype)(
             x, use_running_average=not train))
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,

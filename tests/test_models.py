@@ -134,6 +134,16 @@ class TestPANNs:
                          .astype(np.float32))
         v3 = pc.init(jax.random.PRNGKey(1), x3)
         assert pc.apply(v3, x3).shape == (2, 9, 8, 8)
+        # 3x3 variant (Cnn14's first block rides the same path)
+        pc3 = Patches5x5Conv(8, (3, 3), padding="SAME", use_bias=False,
+                             kernel_init=xavier_uniform())
+        sc3 = nn.Conv(8, (3, 3), padding="SAME", use_bias=False,
+                      kernel_init=xavier_uniform())
+        vp3 = pc3.init(jax.random.PRNGKey(2), x)
+        vs3 = sc3.init(jax.random.PRNGKey(2), x)
+        ya3, yb3 = pc3.apply(vp3, x), sc3.apply(vs3, x)
+        d3 = float(jnp.max(jnp.abs(yb3)))
+        assert float(jnp.max(jnp.abs(ya3 - yb3))) / d3 < 1e-5
 
     def test_cnn6_forward(self, rng):
         model = models.MelPANNsNet(
