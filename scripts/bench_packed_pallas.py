@@ -42,7 +42,9 @@ def base_cfg(impl):
                 augment=False, pretrained=False, optimizer_name="adam",
                 lr_model=1e-4, lr_tf=1.0, batch_size=BATCH,
                 trainable=True, max_epochs=1, patience=100,
-                resample_rate=SR, init_lambd=LAM, n_points=T)
+                resample_rate=SR, init_lambd=LAM, n_points=T,
+                # round-5 production config (the esc50 space ships both)
+                model_dtype="bfloat16", rng_impl="rbg")
 
 
 def build(impl):
