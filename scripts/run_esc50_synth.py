@@ -30,6 +30,13 @@ def main():
                              "blur radius; f32 arms only)")
     parser.add_argument("--max_epochs", type=int, default=25)
     parser.add_argument("--output_dir", default="results")
+    parser.add_argument("--only_lambd", type=float, default=None,
+                        help="run just the arm with this init_lambd "
+                             "(both trainable and frozen), e.g. to "
+                             "extend one arm's epoch budget")
+    parser.add_argument("--suffix", default="",
+                        help="appended to the sweep name (separate "
+                             "output dir, e.g. _long)")
     args = parser.parse_args()
 
     from dmel_tpu.experiments import configs, runner
@@ -48,6 +55,9 @@ def main():
         space["trainable"] = True
         space["init_lambd"] = 8000 * 0.035 / 6
         name += "_probe"
+    if args.only_lambd is not None:
+        space["init_lambd"] = args.only_lambd
+    name += args.suffix
 
     sweep = runner.run_sweep(name, num_samples=1,
                              max_epochs=space["max_epochs"],
